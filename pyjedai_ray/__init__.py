@@ -1,0 +1,35 @@
+"""pyjedai_ray — a Ray-Data-native near-duplicate detection and entity
+clustering engine.
+
+Built from scratch against the semantics of AI-team-UoA/pyJedAI (reference
+snapshot at /root/reference — see SURVEY.md for the file:line parity map), but
+architected Ray-Data-first: every stage is a transform over a
+``ray.data.Dataset`` of zero-copy Arrow batches; stateful stages (MinHash
+signers, encoders) are actor pools; wide steps are ``groupby`` shuffles keyed
+by blocking/band keys with explicit hot-key handling.
+
+Canonical intermediate datasets (SURVEY.md §7):
+  docs     (doc_id:int64, url, text, lang, ...signature cols)
+  edges    (key:string|uint64, doc_id:int64)       -- exploded blocking keys
+  pairs    (id1:int64, id2:int64[, weight:float64]) with id1 < id2
+  clusters (doc_id:int64, cluster_id:int64), cluster_id = min(doc_id)
+"""
+
+__version__ = "0.1.0"
+
+from .config import DedupConfig  # noqa: F401
+
+
+def _set_default_context() -> None:
+    # Datasets capture the DataContext at creation; switch the process to the
+    # hash-shuffle backend up front so every plan built after importing this
+    # package supports keyed repartition (stages/exchange.py). Safe pre-init.
+    try:
+        from .stages.exchange import ensure_context
+
+        ensure_context()
+    except Exception:  # pragma: no cover - e.g. ray missing at docs build
+        pass
+
+
+_set_default_context()

@@ -1,0 +1,149 @@
+"""Deterministic hashing: 64-bit string hashes, MinHash, LSH bands, SimHash.
+
+This module defines OUR hash family (the "identical shingle/signature config"
+the north rule pins — BASELINE.json). It is pure numpy + hashlib so the exact
+same code runs in Ray workers and in the in-memory test oracle; recall parity
+vs the oracle is then exact by construction (SURVEY.md §7 "hard parts").
+
+Reference analog: token/q-gram blocking keys (src/pyjedai/block_building.py)
+play the candidate-generation role MinHash bands play here; the reference has
+no MinHash of its own, so the family below is specified from first principles
+(splitmix64 mixing, Steele et al., public domain constants).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+_MASK64 = U64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 arrays (wrapping mul)."""
+    x = x.astype(U64, copy=True)
+    with np.errstate(over="ignore"):
+        x += U64(0x9E3779B97F4A7C15)
+        z = x
+        z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
+        z = z ^ (z >> U64(31))
+    return z
+
+
+def hash64(s: str, seed: int = 0) -> int:
+    """Stable 64-bit hash of a string (blake2b keyed by seed)."""
+    h = hashlib.blake2b(
+        s.encode("utf-8"), digest_size=8, key=seed.to_bytes(8, "little")
+    )
+    return int.from_bytes(h.digest(), "little")
+
+
+def hash64_array(strings: list[str], seed: int = 0) -> np.ndarray:
+    """64-bit hashes for a list of strings -> uint64 array.
+
+    hashlib's C core makes this ~1M/s per core; at larger scale swap in a
+    vectorized hasher with the same contract (the seed pins the family).
+    """
+    key = seed.to_bytes(8, "little")
+    blake2b = hashlib.blake2b
+    return np.array(
+        [
+            int.from_bytes(blake2b(s.encode("utf-8"), digest_size=8, key=key).digest(), "little")
+            for s in strings
+        ],
+        dtype=U64,
+    )
+
+
+def perm_seeds(num_perms: int, seed: int) -> np.ndarray:
+    """The MinHash "permutations": num_perms fixed xor-seeds derived from the
+    config seed by iterating splitmix64 (deterministic, order-stable)."""
+    out = np.empty(num_perms, dtype=U64)
+    state = np.array([seed], dtype=U64)
+    for i in range(num_perms):
+        state = splitmix64(state)
+        out[i] = state[0]
+    return out
+
+
+def minhash_signature(shingle_hashes: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """MinHash signature: sig[i] = min over shingles of splitmix64(h ^ seed_i).
+
+    Vectorized (num_perms x n_shingles) broadcast; empty input -> all-max
+    sentinel signature (a doc with no shingles matches nothing).
+    """
+    if shingle_hashes.size == 0:
+        return np.full(seeds.shape[0], _MASK64, dtype=U64)
+    mixed = splitmix64(shingle_hashes[None, :] ^ seeds[:, None])
+    return mixed.min(axis=1)
+
+
+def minhash_signatures_batch(
+    hash_lists: list[np.ndarray], seeds: np.ndarray
+) -> np.ndarray:
+    """Signatures for a batch of docs -> (n_docs, num_perms) uint64."""
+    out = np.empty((len(hash_lists), seeds.shape[0]), dtype=U64)
+    for i, h in enumerate(hash_lists):
+        out[i] = minhash_signature(h, seeds)
+    return out
+
+
+def band_hashes(signatures: np.ndarray, bands: int, rows: int, seed: int) -> np.ndarray:
+    """LSH band keys: fold each band's r signature values into one uint64.
+
+    signatures: (n_docs, bands*rows) -> (n_docs, bands) uint64. Chained
+    splitmix64 over the rows, with a per-band initial state, so two docs share
+    a band key iff all r minhashes in that band agree (up to 64-bit collision).
+    """
+    n = signatures.shape[0]
+    sig = signatures.reshape(n, bands, rows)
+    band_seed = perm_seeds(bands, seed ^ 0x5B4D5_1).astype(U64)
+    acc = np.broadcast_to(band_seed, (n, bands)).copy()
+    for r in range(rows):
+        acc = splitmix64(acc ^ sig[:, :, r])
+    return acc
+
+
+def simhash64(token_hashes: np.ndarray, counts: np.ndarray | None = None) -> int:
+    """64-bit SimHash over token hashes (optionally weighted by counts)."""
+    if token_hashes.size == 0:
+        return 0
+    bits = (token_hashes[:, None] >> np.arange(64, dtype=U64)[None, :]) & U64(1)
+    if counts is None:
+        votes = bits.astype(np.int64).sum(axis=0) * 2 - token_hashes.size
+    else:
+        c = counts.astype(np.int64)
+        votes = (bits.astype(np.int64) * c[:, None]).sum(axis=0) * 2 - c.sum()
+    out = np.where(votes >= 0, U64(1), U64(0)) << np.arange(64, dtype=U64)
+    return int(out.sum(dtype=U64))
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = (np.asarray(a, dtype=U64) ^ np.asarray(b, dtype=U64)).view(np.uint8)
+    return np.unpackbits(x.reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def simhash_band_keys(simhash: int, bands: int = 4) -> list[int]:
+    """Split a 64-bit simhash into `bands` chunks (Hamming-LSH: two hashes
+    within distance bands-1 share at least one chunk). Keys namespaced by
+    chunk index so chunk i only collides with chunk i."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return [(i << 60) | ((simhash >> (i * width)) & mask) for i in range(bands)]
+
+
+def canonical_pair(a: int, b: int) -> tuple[int, int]:
+    """Order a pair so id1 < id2 (reference utils.py:678-691 canonical_swap)."""
+    return (a, b) if a < b else (b, a)
+
+
+def pair_key(id1: np.ndarray, id2: np.ndarray) -> np.ndarray:
+    """Single uint64 shuffle key for canonical pairs (id-space < 2^32) —
+    used as the groupby key for pair dedup/weight aggregation."""
+    lo = np.minimum(id1, id2).astype(np.uint64)
+    hi = np.maximum(id1, id2).astype(np.uint64)
+    return (lo << np.uint64(32)) | hi

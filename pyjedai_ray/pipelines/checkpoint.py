@@ -1,0 +1,118 @@
+"""Checkpoint / resume with per-partition lineage (north-rule requirement).
+
+Reference analog: the embedding ``.npy`` cache (src/pyjedai/
+vector_based_blocking.py:229-292) and workflow JSON store (workflow.py:419-448)
+— ad-hoc, single-stage. Here every stage can write its output Dataset as
+partitioned Parquet under ``<base>/<stage>/`` plus a ``_manifest.json``:
+
+  {stage, config_hash, input_manifest (upstream config hash chain),
+   row_count, partitions: [{file, rows, bytes}...], metrics{}}
+
+Resume = ``load_or_compute``: if the stage directory holds a manifest whose
+config_hash + input chain match, ``read_parquet`` it back (skipping the
+compute); otherwise compute, write, and stamp. The per-partition file list
+with row counts IS the lineage record — a failed run resumes from the last
+stage whose manifest validates, and partition counts localize corruption.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+import pyarrow.parquet as pq
+import ray.data
+
+MANIFEST = "_manifest.json"
+
+
+def _manifest_path(stage_dir: str) -> str:
+    return os.path.join(stage_dir, MANIFEST)
+
+
+def write_stage(
+    ds: ray.data.Dataset,
+    stage_dir: str,
+    stage: str,
+    config_hash: str,
+    input_manifest: str = "",
+    metrics: dict | None = None,
+) -> dict:
+    """Write a stage's output as Parquet + manifest; returns the manifest."""
+    os.makedirs(stage_dir, exist_ok=True)
+    for f in os.listdir(stage_dir):  # clear stale partials
+        os.remove(os.path.join(stage_dir, f))
+    ds.write_parquet(stage_dir)
+    partitions = []
+    total = 0
+    for name in sorted(os.listdir(stage_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(stage_dir, name)
+        meta = pq.ParquetFile(path).metadata
+        partitions.append(
+            {"file": name, "rows": meta.num_rows, "bytes": os.path.getsize(path)}
+        )
+        total += meta.num_rows
+    manifest = {
+        "stage": stage,
+        "config_hash": config_hash,
+        "input_manifest": input_manifest,
+        "row_count": total,
+        "partitions": partitions,
+        "metrics": metrics or {},
+    }
+    with open(_manifest_path(stage_dir), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def read_manifest(stage_dir: str) -> dict | None:
+    try:
+        with open(_manifest_path(stage_dir)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def manifest_valid(stage_dir: str, config_hash: str, input_manifest: str = "") -> bool:
+    """A manifest validates iff config + input chain match AND every listed
+    partition file is present with the recorded size."""
+    m = read_manifest(stage_dir)
+    if not m or m.get("config_hash") != config_hash or m.get("input_manifest") != input_manifest:
+        return False
+    for p in m.get("partitions", []):
+        path = os.path.join(stage_dir, p["file"])
+        if not os.path.exists(path) or os.path.getsize(path) != p["bytes"]:
+            return False
+    return True
+
+
+def chain_hash(config_hash: str, input_manifest: str) -> str:
+    """Lineage chain value handed to the next stage."""
+    import hashlib
+
+    return hashlib.blake2b(
+        f"{input_manifest}->{config_hash}".encode(), digest_size=8
+    ).hexdigest()
+
+
+def load_or_compute(
+    base_dir: str,
+    stage: str,
+    config_hash: str,
+    input_manifest: str,
+    compute: Callable[[], ray.data.Dataset],
+    metrics: dict | None = None,
+    resume: bool = True,
+) -> tuple[ray.data.Dataset, str]:
+    """Return (dataset, lineage-chain-hash); reads the checkpoint when its
+    manifest validates, else computes + writes it."""
+    stage_dir = os.path.join(base_dir, stage)
+    chain = chain_hash(config_hash, input_manifest)
+    if resume and manifest_valid(stage_dir, config_hash, input_manifest):
+        return ray.data.read_parquet(stage_dir), chain
+    ds = compute()
+    write_stage(ds, stage_dir, stage, config_hash, input_manifest, metrics)
+    return ray.data.read_parquet(stage_dir), chain

@@ -1,0 +1,153 @@
+"""Flagship checkpointed pipeline: Common-Crawl-shaped Parquet -> clusters.
+
+read webpages (url, warc_ts, html, text, lang)
+  -> extract_text(html) [stateless map, byte-identical per url invariant]
+  -> drop html immediately (wide rows must not enter shuffles)
+  -> assign doc_id = stable hash of url
+  -> sign (MinHash/SimHash actor pool)
+  -> LSH band candidates -> exact-Jaccard verify -> union-find clusters
+  -> write clusters + doc->cluster map as partitioned Parquet
+
+Every stage may checkpoint through pipelines/checkpoint.py (per-partition
+lineage + metrics; resume skips validated stages).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..config import DedupConfig
+from ..functions.hashing import hash64_array
+from ..functions.text import extract_text
+from ..stages import blocking, clustering, matching, minhash
+from . import checkpoint as ckpt
+
+
+def extract_and_project(
+    webpages: ray.data.Dataset, use_html: bool = True, lang_filter: str | None = None
+) -> ray.data.Dataset:
+    """(url, warc_ts, html, text, lang) -> (doc_id, url, text, lang).
+
+    With use_html=True the text column is recomputed from html via the
+    deterministic extractor (and must equal the provided text byte-for-byte —
+    asserted per batch); doc_id = blake2b-64(url) (stable across runs and
+    parallelism; no serial row numbering)."""
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        if use_html and "html" in batch.column_names:
+            texts = [extract_text(h or b"") for h in batch["html"].to_pylist()]
+            if "text" in batch.column_names:
+                given = batch["text"].to_pylist()
+                for u, a, b in zip(urls, texts, given):
+                    if b is not None and a != b:
+                        raise ValueError(f"html->text mismatch for url {u}")
+        else:
+            texts = batch["text"].to_pylist()
+        ids = hash64_array(urls, seed=0x0D0C).view(np.int64) >> 1  # non-negative
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": batch["url"],
+            "text": pa.array(texts, pa.large_string()),
+        }
+        if "lang" in batch.column_names:
+            cols["lang"] = batch["lang"]
+        return pa.table(cols)
+
+    out = webpages.map_batches(_extract, batch_format="pyarrow")
+    if lang_filter:
+        out = out.filter(expr=f"lang == '{lang_filter}'")
+    return out
+
+
+def run_webdedup(
+    webpages: ray.data.Dataset,
+    cfg: DedupConfig | None = None,
+    out_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int = 32,
+    signer_batch_size: int = 1024,
+    signer_concurrency=None,
+    verify_mode: str = "join",
+    cluster_mode: str = "auto",
+    use_html: bool = True,
+    id_col: str | None = None,
+) -> dict:
+    """Full web dedup. Returns dict with docs/sigs/candidates/verified/
+    clusters Datasets (checkpointed under out_dir when given)."""
+    cfg = cfg or DedupConfig()
+    ch = cfg.config_hash()
+
+    def _docs():
+        if id_col is not None:
+            return webpages.select_columns([id_col, "text"]).rename_columns(
+                {id_col: "doc_id"}
+            )
+        return extract_and_project(webpages, use_html=use_html)
+
+    chain = ""
+    if out_dir:
+        docs, chain = ckpt.load_or_compute(out_dir, "docs", ch, chain, _docs, resume=resume)
+    else:
+        docs = _docs()
+
+    def _sigs():
+        return minhash.sign(
+            docs.select_columns(["doc_id", "text"]),
+            cfg,
+            batch_size=signer_batch_size,
+            concurrency=signer_concurrency,
+        )
+
+    if out_dir:
+        sigs, chain = ckpt.load_or_compute(out_dir, "sigs", ch, chain, _sigs, resume=resume)
+    else:
+        sigs = _sigs().materialize() if verify_mode == "broadcast" else _sigs()
+
+    def _candidates():
+        return blocking.candidate_pairs(
+            minhash.explode_bands(sigs),
+            max_block_size=cfg.max_block_size,
+            num_partitions=num_partitions,
+        )
+
+    if out_dir:
+        candidates, chain = ckpt.load_or_compute(
+            out_dir, "candidates", ch, chain, _candidates, resume=resume
+        )
+    else:
+        candidates = _candidates()
+
+    def _verified():
+        return matching.verify_pairs(
+            candidates, sigs, threshold=cfg.verify_threshold,
+            num_partitions=num_partitions, mode=verify_mode,
+        )
+
+    if out_dir:
+        verified, chain = ckpt.load_or_compute(
+            out_dir, "verified", ch, chain, _verified, resume=resume
+        )
+    else:
+        verified = _verified()
+
+    def _clusters():
+        return clustering.connected_components(verified, mode=cluster_mode)
+
+    if out_dir:
+        clusters, chain = ckpt.load_or_compute(
+            out_dir, "clusters", ch, chain, _clusters, resume=resume
+        )
+    else:
+        clusters = _clusters()
+
+    return {
+        "docs": docs,
+        "sigs": sigs,
+        "candidates": candidates,
+        "verified": verified,
+        "clusters": clusters,
+        "lineage": chain,
+    }

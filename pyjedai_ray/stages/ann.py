@@ -1,0 +1,226 @@
+"""Similarity search over an embedding column (list<float>).
+
+Reference analog: ``EmbeddingsNNBlockBuilding`` (src/pyjedai/
+vector_based_blocking.py:61-590) encodes entities and runs FAISS top-k NN in
+one process. FAISS/torch are not available here; the same roles are covered
+with numpy over Ray Data:
+
+* ``knn_brute_force``   — exact top-k cosine: the query matrix is broadcast
+  once (``ray.put``), every batch does one matmul against it and emits its
+  LOCAL top-k per query (bounding the shuffle to k * Q * num_batches rows),
+  then a per-query reduce keeps the global top-k. Deterministic tie order
+  (score desc, neighbor id asc).
+* ``ivf_knn``           — the scale path: vectors are pre-bucketed by a
+  coarse quantizer (here: the dataset's ``label`` column or any bucket
+  column; a real deployment plugs k-means centroids into ``bucket_fn``) and
+  only the probe's bucket is scanned.
+* ``embedding_neardup`` — near-duplicate pairs by cosine >= threshold within
+  buckets (the embedding-cosine dedup entry of the training-data suite).
+
+All stages assume fixed-dimension vectors; ragged inputs raise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .exchange import ensure_context, stamp_schema
+
+KNN_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("score", pa.float64()), ("rank", pa.int32())]
+)
+PAIR_SCHEMA = pa.schema([("id1", pa.int64()), ("id2", pa.int64()), ("score", pa.float64())])
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float32)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if len(set(lens.tolist())) > 1:
+        raise ValueError(f"ragged embedding column: lengths {sorted(set(lens.tolist()))[:5]}")
+    d = int(lens[0]) if len(lens) else 0
+    return flat.reshape(-1, d) if d else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_brute_force(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Exact cosine top-k: (query_id, neighbor_id, score, rank), rank 1..k."""
+    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    qref = ray.put((qm, np.asarray(query_ids, dtype=np.int64)))
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or vec_col not in batch.column_names:
+            return pa.schema(
+                [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("score", pa.float64())]
+            ).empty_table()
+        q, qids = ray.get(qref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        scores = q @ m.T  # (Q, batch)
+        if exclude_self:
+            mask = qids[:, None] == ids[None, :]
+            scores = np.where(mask, -np.inf, scores)
+        kk = min(k, scores.shape[1])
+        # deterministic local top-k per query: (score desc, id asc)
+        order = np.lexsort((ids[None, :].repeat(len(qids), 0), -scores), axis=1)[:, :kk]
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(len(qids)):
+            sel = order[qi]
+            sel = sel[np.isfinite(scores[qi, sel])]
+            rows_q.append(np.full(sel.size, qids[qi], dtype=np.int64))
+            rows_n.append(ids[sel])
+            rows_s.append(scores[qi, sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q) if rows_q else [], pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(rows_n) if rows_n else [], pa.int64()),
+                "score": pa.array(np.concatenate(rows_s).astype(np.float64) if rows_s else [], pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(_local_topk, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def _global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int32))
+        return df
+
+    ensure_context()
+    out = partials.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
+    return stamp_schema(out, KNN_SCHEMA)
+
+
+def embedding_neardup(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = "label",
+    max_bucket: int = 100_000,
+) -> ray.data.Dataset:
+    """(id1, id2, score) pairs with cosine >= threshold, id1 < id2.
+
+    Pairs are enumerated WITHIN buckets (coarse-quantizer cells). With
+    bucket_col=None the whole dataset is one bucket — exact but O(n^2); at
+    scale always bucket (IVF-style). Buckets above ``max_bucket`` raise
+    rather than silently exploding.
+    """
+    ensure_context()
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2 or vec_col not in group.column_names:
+            return PAIR_SCHEMA.empty_table()
+        if n > max_bucket:
+            raise ValueError(f"bucket of {n} rows exceeds max_bucket={max_bucket}")
+        m = _normalize(_batch_matrix(group, vec_col))
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        sims = m @ m.T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        a, b = ids[iu], ids[ju]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "id1": pa.array(lo, pa.int64()),
+                "id2": pa.array(hi, pa.int64()),
+                "score": pa.array(sims[iu, ju].astype(np.float64), pa.float64()),
+            }
+        )
+
+    if bucket_col is None:
+        whole = embeddings.repartition(1)
+        return stamp_schema(
+            whole.map_batches(_pairs, batch_format="pyarrow", batch_size=max_bucket), PAIR_SCHEMA
+        )
+    out = embeddings.groupby(bucket_col).map_groups(_pairs, batch_format="pyarrow")
+    return stamp_schema(out, PAIR_SCHEMA)
+
+
+def ivf_knn(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    query_buckets: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> ray.data.Dataset:
+    """IVF-style top-k: each query only scans its own bucket's vectors.
+
+    ``query_buckets[i]`` is the coarse cell of query i (in a full IVF this is
+    argmin distance to centroids, possibly nprobe>1 cells — plug that in by
+    repeating queries per probed cell)."""
+    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    qref = ray.put((qm, np.asarray(query_ids, dtype=np.int64), np.asarray(query_buckets)))
+
+    def _local(batch: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("score", pa.float64())]
+        ).empty_table()
+        if batch.num_rows == 0 or vec_col not in batch.column_names:
+            return empty
+        q, qids, qbuckets = ray.get(qref)
+        buckets = batch[bucket_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            sel = buckets == qbuckets[qi]
+            if not sel.any():
+                continue
+            sub_ids = ids[sel]
+            scores = m[sel] @ q[qi]
+            mask = sub_ids != qids[qi]
+            sub_ids, scores = sub_ids[mask], scores[mask]
+            kk = min(k, scores.size)
+            order = np.lexsort((sub_ids, -scores))[:kk]
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_n.append(sub_ids[order])
+            out_s.append(scores[order].astype(np.float64))
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(_local, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def _global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int32))
+        return df
+
+    ensure_context()
+    out = partials.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
+    return stamp_schema(out, KNN_SCHEMA)

@@ -1,0 +1,184 @@
+"""Clustering: similarity graph (pairs Dataset) -> cluster assignments.
+
+Reference: src/pyjedai/clustering.py. The scalable path is connected
+components (``ConnectedComponentsClustering``, :431-475) — our Dirty-ER dedup
+clustering — implemented driver-side over the (small) verified edge list or
+as distributed min-label propagation (state/unionfind.py) when edges are
+large. Serial-greedy methods (UniqueMapping :477-539, Center :568-639,
+BestMatch :641-727, MergeCenter :730-791) are order-dependent by definition;
+they run driver-side over deterministically sorted edges (weight desc, id1,
+id2), as the survey prescribes (§2.8: post-verification edges are small
+relative to the corpus; these are CCER-only methods anyway).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..state.unionfind import UnionFind, label_propagation
+from .exchange import hash_join
+
+DRIVER_EDGE_LIMIT = 5_000_000
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    threshold: float | None = None,
+    mode: str = "auto",
+) -> ray.data.Dataset:
+    """(id1, id2[, weight]) -> (doc_id, cluster_id=min id of component).
+
+    mode: "driver" (union-find over collected edges), "distributed"
+    (min-label propagation), or "auto" (driver below DRIVER_EDGE_LIMIT edges).
+    Only nodes appearing in edges are emitted; singletons keep their own id
+    implicitly (attach_clusters fills them in).
+    """
+    if threshold is not None and "weight" in pairs.columns():
+        pairs = pairs.filter(expr=f"weight >= {threshold!r}")
+    edges = pairs.select_columns(["id1", "id2"])
+    if mode == "auto":
+        mode = "driver" if edges.count() <= DRIVER_EDGE_LIMIT else "distributed"
+    if mode == "distributed":
+        return label_propagation(edges)
+
+    uf = UnionFind()
+    for batch in edges.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(
+            batch["id1"].to_numpy(zero_copy_only=False),
+            batch["id2"].to_numpy(zero_copy_only=False),
+        ):
+            uf.union(int(a), int(b))
+    comp = uf.components()
+    if not comp:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        )
+    nodes = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
+    labels = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
+    order = np.argsort(nodes)
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(nodes[order]), "cluster_id": pa.array(labels[order])})
+    )
+
+
+def attach_clusters(
+    docs: ray.data.Dataset,
+    clusters: ray.data.Dataset,
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Left-join cluster ids onto the corpus; unmatched docs (singletons) get
+    cluster_id = their own id."""
+    joined = hash_join(
+        docs,
+        clusters.rename_columns({"doc_id": id_col}),
+        on=(id_col,),
+        num_partitions=num_partitions,
+        join_type="left outer",
+    )
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "cluster_id" not in batch.column_names:  # empty clusters side
+            return batch.append_column("cluster_id", pc.cast(batch[id_col], pa.int64()))
+        cid = batch["cluster_id"]
+        own = batch[id_col]
+        filled = pc.if_else(pc.is_null(cid), pc.cast(own, cid.type), cid)
+        cols = {c: batch[c] for c in batch.column_names if c != "cluster_id"}
+        cols["cluster_id"] = pc.cast(filled, pa.int64())
+        return pa.table(cols)
+
+    return joined.map_batches(_fill, batch_format="pyarrow")
+
+
+def _sorted_edges(pairs: ray.data.Dataset) -> list[tuple[float, int, int]]:
+    """Collect edges sorted by (weight desc, id1, id2) — deterministic greedy
+    input order. Driver-side by design (see module docstring)."""
+    rows = pairs.sort(["weight", "id1", "id2"], descending=[True, False, False]).take_all()
+    return [(r["weight"], int(r["id1"]), int(r["id2"])) for r in rows]
+
+
+def unique_mapping_clustering(
+    pairs: ray.data.Dataset, threshold: float = 0.1
+) -> ray.data.Dataset:
+    """CCER greedy 1-1 matching (clustering.py:477-539): scan edges by
+    descending weight, match a pair iff both endpoints are unmatched."""
+    matched: set[int] = set()
+    out1, out2 = [], []
+    for w, a, b in _sorted_edges(pairs):
+        if w < threshold:
+            break
+        if a in matched or b in matched:
+            continue
+        matched.add(a)
+        matched.add(b)
+        out1.append(a)
+        out2.append(b)
+    t = pa.table({"id1": pa.array(out1, pa.int64()), "id2": pa.array(out2, pa.int64())})
+    return ray.data.from_arrow(t)
+
+
+def best_match_clustering(
+    pairs: ray.data.Dataset, threshold: float = 0.1
+) -> ray.data.Dataset:
+    """Best candidate per source entity (clustering.py:641-727): for each id1
+    keep its max-weight edge (deterministic tie-break id2 asc)."""
+    best: dict[int, tuple[float, int]] = {}
+    for w, a, b in _sorted_edges(pairs):
+        if w < threshold:
+            continue
+        if a not in best:
+            best[a] = (w, b)
+    out1 = sorted(best)
+    t = pa.table(
+        {
+            "id1": pa.array(out1, pa.int64()),
+            "id2": pa.array([best[a][1] for a in out1], pa.int64()),
+            "weight": pa.array([best[a][0] for a in out1], pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def center_clustering(
+    pairs: ray.data.Dataset, threshold: float = 0.1
+) -> ray.data.Dataset:
+    """Center clustering (clustering.py:568-639): scan desc-weight edges;
+    first-seen endpoint of an edge becomes a center (preferring the one with
+    higher weight-degree sum), the other becomes its member."""
+    # weight-degree sums
+    wsum: dict[int, float] = {}
+    edges = _sorted_edges(pairs)
+    for w, a, b in edges:
+        if w < threshold:
+            continue
+        wsum[a] = wsum.get(a, 0.0) + w
+        wsum[b] = wsum.get(b, 0.0) + w
+    is_center: set[int] = set()
+    is_member: dict[int, int] = {}
+    for w, a, b in edges:
+        if w < threshold:
+            continue
+        a_free = a not in is_center and a not in is_member
+        b_free = b not in is_center and b not in is_member
+        if a_free and b_free:
+            center, member = (a, b) if wsum.get(a, 0) >= wsum.get(b, 0) else (b, a)
+            is_center.add(center)
+            is_member[member] = center
+        elif a in is_center and b_free:
+            is_member[b] = a
+        elif b in is_center and a_free:
+            is_member[a] = b
+    rows_n, rows_c = [], []
+    for c in sorted(is_center):
+        rows_n.append(c)
+        rows_c.append(c)
+    for m in sorted(is_member):
+        rows_n.append(m)
+        rows_c.append(is_member[m])
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(rows_n, pa.int64()), "cluster_id": pa.array(rows_c, pa.int64())})
+    )

@@ -1,0 +1,153 @@
+"""End-to-end deduplication pipelines (the training-data-pipeline surface).
+
+* ``exact_dedup``       — hash-partition on content fingerprint, min-id
+  representative per group (the classic exact-dup pass that precedes
+  near-dup detection at web scale).
+* ``minhash_dedup``     — the FLAGSHIP near-dup pipeline (north rule):
+  sign (actor pool) -> explode LSH bands -> groupby(band) candidate pairs
+  with hot-key capping -> exact-Jaccard verification on shingle sets ->
+  union-find clustering. Every wide step is keyed (band key, canonical pair,
+  node) per SURVEY.md §7's shuffle table.
+* ``simhash_dedup``     — SimHash Hamming-LSH variant of the same skeleton.
+* ``ngram_jaccard_dedup`` — q-gram/shingle blocking + exact Jaccard without
+  MinHash (the reference's QGramsBlocking + Jaccard EntityMatching path).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from ..config import DedupConfig
+from ..functions.text import fingerprint_md5
+from . import blocking, clustering, matching, minhash
+from .exchange import hash_join, stamp_schema
+
+
+def add_fingerprint(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    def _fp(batch: pa.Table) -> pa.Table:
+        fps = [fingerprint_md5(t or "") for t in batch[text_col].to_pylist()]
+        return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+    return docs.map_batches(_fp, batch_format="pyarrow")
+
+
+def exact_dedup(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """(doc_id, cluster_id) where cluster_id = min doc_id among byte-equal
+    normalized texts. One groupby on the md5 fingerprint + a join back —
+    never a text-keyed shuffle (fingerprints are 32 bytes, texts are KBs)."""
+    import pyarrow as _pa
+    from ray.data.aggregate import Min
+
+    fp = add_fingerprint(docs.select_columns([id_col, text_col]), text_col).select_columns(
+        [id_col, "fingerprint"]
+    ).materialize()
+    reps = stamp_schema(
+        fp.groupby("fingerprint").aggregate(Min(id_col, alias_name="cluster_id")),
+        _pa.schema([("fingerprint", _pa.string()), ("cluster_id", _pa.int64())]),
+    )
+    return (
+        hash_join(fp, reps, on=("fingerprint",), num_partitions=num_partitions)
+        .select_columns([id_col, "cluster_id"])
+        .rename_columns({id_col: "doc_id"})
+    )
+
+
+def minhash_dedup(
+    docs: ray.data.Dataset,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    signer_batch_size: int = 1024,
+    signer_concurrency=None,
+    cluster_mode: str = "auto",
+    verify_mode: str = "join",
+) -> dict:
+    """Flagship near-dup pipeline. Returns dict of the stage Datasets:
+    sigs, candidates (id1,id2,cbs), verified (id1,id2,weight,hamming),
+    clusters (doc_id, cluster_id)."""
+    cfg = cfg or DedupConfig()
+    sigs = minhash.sign(
+        docs.select_columns([id_col, text_col]).rename_columns({id_col: "doc_id"}),
+        cfg,
+        batch_size=signer_batch_size,
+        concurrency=signer_concurrency,
+    )
+    if verify_mode == "broadcast":
+        sigs = sigs.materialize()  # consumed twice: band explode + broadcast
+    band_edges = minhash.explode_bands(sigs)
+    candidates = blocking.candidate_pairs(
+        band_edges, max_block_size=cfg.max_block_size, num_partitions=num_partitions
+    )
+    verified = matching.verify_pairs(
+        candidates, sigs, threshold=cfg.verify_threshold,
+        num_partitions=num_partitions, mode=verify_mode,
+    )
+    clusters = clustering.connected_components(verified, mode=cluster_mode)
+    return {
+        "sigs": sigs,
+        "candidates": candidates,
+        "verified": verified,
+        "clusters": clusters,
+    }
+
+
+def simhash_dedup(
+    docs: ray.data.Dataset,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    simhash_bands: int = 4,
+    num_partitions: int = 32,
+    cluster_mode: str = "auto",
+    verify_mode: str = "join",
+) -> dict:
+    """SimHash near-dup: Hamming-LSH chunk keys -> candidates -> Hamming
+    verification (keep pairs within cfg.simhash_hamming_max bits)."""
+    cfg = cfg or DedupConfig()
+    sigs = minhash.sign(
+        docs.select_columns([id_col, text_col]).rename_columns({id_col: "doc_id"}), cfg
+    )
+    edges = minhash.explode_simhash_bands(sigs, bands=simhash_bands)
+    candidates = blocking.candidate_pairs(
+        edges, max_block_size=cfg.max_block_size, num_partitions=num_partitions
+    )
+    if verify_mode == "broadcast":
+        sigs = sigs.materialize()
+    verified = matching.verify_pairs(
+        candidates, sigs, threshold=0.0, num_partitions=num_partitions,
+        keep_below=True, mode=verify_mode,
+    ).filter(expr=f"hamming <= {cfg.simhash_hamming_max}")
+    clusters = clustering.connected_components(verified, mode=cluster_mode)
+    return {"sigs": sigs, "candidates": candidates, "verified": verified, "clusters": clusters}
+
+
+def ngram_jaccard_dedup(
+    docs: ray.data.Dataset,
+    keyer: str = "shingle",
+    threshold: float = 0.8,
+    max_block_size: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    **keyer_kwargs,
+) -> dict:
+    """Blocking-key near-dup without MinHash: explode keys -> candidates ->
+    exact Jaccard on word tokens (text-level verification)."""
+    d = docs.select_columns([id_col, text_col]).rename_columns({id_col: "doc_id"})
+    edges = blocking.explode_keys(d, keyer=keyer, **keyer_kwargs)
+    candidates = blocking.candidate_pairs(
+        edges, max_block_size=max_block_size, num_partitions=num_partitions
+    )
+    verified = matching.verify_pairs_text(
+        candidates, d, metric="jaccard", tokenizer="word", threshold=threshold,
+        num_partitions=num_partitions,
+    )
+    clusters = clustering.connected_components(verified)
+    return {"candidates": candidates, "verified": verified, "clusters": clusters}

