@@ -1,16 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ray.init()/ray.shutdown(). Importing pyjedai_ray switches the Ray Data
+context to the hash-shuffle backend (required for keyed repartition) — that
+must happen before any Dataset is built, which import-time ordering ensures.
 """
 
 from __future__ import annotations
@@ -20,25 +13,34 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship near-dup pipeline on sf0.001: synthesize the Common-Crawl-
+    shaped webpages corpus (url, warc_ts, html, text, lang) from the driver
+    documents table, extract text from html (byte-identity asserted), MinHash
+    LSH -> verify -> union-find, and return every doc with its cluster id."""
+    from pyjedai_ray import DedupConfig
+    from pyjedai_ray.pipelines.webdedup import run_webdedup
+    from pyjedai_ray.sources.webpages import synthesize_webpages
+    from pyjedai_ray.stages.clustering import attach_clusters
+
+    wp = synthesize_webpages("/root/testdata/sf0.001").materialize()
+    res = run_webdedup(
+        wp.drop_columns(["doc_id", "gt_cluster"]),
+        DedupConfig(),
+        verify_mode="broadcast",
+        cluster_mode="driver",
+        num_partitions=8,
+    )
+    docs = res["docs"].select_columns(["doc_id", "url"])
+    return attach_clusters(docs, res["clusters"], num_partitions=8)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pyjedai_ray.entry_queries import queries as _q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pyjedai_ray.entry_queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with headline pipeline timings.
+
+  python bench.py                 # full bench at $GRAFT_SF_DIR / $RAY_GRAFT_CPUS
+  python bench.py --scaling       # headline at 8 then 32 cpus (fresh
+                                  # processes) + scaling efficiency
+  python bench.py --headline-only # internal: one headline run, one JSON line
+
+Headline: MinHash-LSH web dedup end-to-end (synthesize Common-Crawl-shaped
+corpus from documents.parquet -> extract -> sign -> band shuffle -> verify ->
+union-find). Metric: docs/sec end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "4"))  # corpus multiplier
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def run_headline(num_cpus: int) -> dict:
+    """One end-to-end dedup run; returns timings + docs/sec."""
+    _init_ray(num_cpus)
+    from pyjedai_ray import DedupConfig
+    from pyjedai_ray.pipelines.webdedup import run_webdedup
+    from pyjedai_ray.sources.webpages import synthesize_webpages
+
+    nparts = max(8, num_cpus)
+    wp = synthesize_webpages(SF_DIR, expand=EXPAND).materialize()
+    n_docs = wp.count()
+    t0 = time.time()
+    res = run_webdedup(
+        wp.drop_columns(["doc_id", "gt_cluster"]),  # pure input_hint shape
+        DedupConfig(),
+        use_html=True,  # e2e includes html->text extraction (byte-identity)
+        verify_mode="broadcast",
+        cluster_mode="driver",
+        num_partitions=nparts,
+        signer_batch_size=512,
+    )
+    n_clustered = res["clusters"].count()
+    wall = time.time() - t0
+    return {
+        "n_docs": n_docs,
+        "n_clustered": n_clustered,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
+def run_query_suite(num_cpus: int) -> dict:
+    """Representative per-operator timings (sec)."""
+    _init_ray(num_cpus)
+    import numpy as np
+
+    from pyjedai_ray.sources.readers import read_documents, read_embeddings
+    from pyjedai_ray.stages import ann, blocking, dedup, joins, minhash
+    from pyjedai_ray import DedupConfig
+
+    out = {}
+    docs = read_documents(SF_DIR, ["doc_id", "text"]).materialize()
+
+    t0 = time.time()
+    dedup.exact_dedup(docs, num_partitions=NUM_CPUS).count()
+    out["exact_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cfg = DedupConfig()
+    sigs = minhash.sign(docs, cfg, batch_size=512).materialize()
+    out["minhash_sign"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    blocking.candidate_pairs(
+        minhash.explode_bands(sigs), max_block_size=cfg.max_block_size,
+        num_partitions=NUM_CPUS,
+    ).count()
+    out["lsh_candidates"] = round(time.time() - t0, 3)
+
+    # similarity join on a bounded slice: the synthetic documents table has a
+    # ~31-word vocabulary, so a token self-join is O(n^2 * vocab) by
+    # construction — time the operator on a fixed 500-doc slice instead
+    sample = docs.filter(expr="doc_id < 500").materialize()
+    t0 = time.time()
+    joins.ejoin(sample, threshold=0.82, num_partitions=NUM_CPUS).count()
+    out["ejoin_500"] = round(time.time() - t0, 3)
+
+    emb = read_embeddings(SF_DIR).materialize()
+    head = sorted(emb.filter(expr="vec_id < 10").take_all(), key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    qvecs = np.array([r["embedding"] for r in head], dtype=np.float32)
+    t0 = time.time()
+    ann.knn_brute_force(emb, qvecs, qids, k=10).count()
+    out["knn_brute_force"] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    if "--headline-only" in sys.argv:
+        r = run_headline(NUM_CPUS)
+        print(json.dumps({"num_cpus": NUM_CPUS, **r}))
+        return
+
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        results = {}
+        for n in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            p = subprocess.run(
+                [sys.executable, __file__, "--headline-only"],
+                capture_output=True, text=True, env=env,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            results[n] = json.loads(line)
+        eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "low_cpus": lo,
+                    "high_cpus": hi,
+                    "docs_per_sec_low": results[lo]["docs_per_sec"],
+                    "docs_per_sec_high": results[hi]["docs_per_sec"],
+                    "sf": SF_DIR,
+                }
+            )
+        )
+        return
+
+    headline = run_headline(NUM_CPUS)
+    queries = run_query_suite(NUM_CPUS)
+    queries["webdedup_e2e"] = headline["wall_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "webdedup_docs_per_sec",
+                "value": headline["docs_per_sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "n_docs": headline["n_docs"],
+                "n_clustered": headline["n_clustered"],
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,783 @@
+"""Driver-contract queries: one entry per operator (SURVEY.md §2) with a
+DuckDB-equivalent oracle SQL where the semantics are SQL-expressible.
+
+Column-name contract: every computed column is named identically in the Ray
+result and the oracle SQL (the driver sorts columns by name and value-hashes).
+Float columns derived from transcendental functions (log10, cosine scores)
+are rounded identically on both sides; integer-derived divisions are left
+exact (IEEE ops on identical inputs are bit-equal).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count
+
+from .config import DedupConfig
+from .sources.readers import read_documents, read_embeddings
+from .stages import ann, blocking, block_cleaning, clustering, dedup, joins, matching, meta_blocking, minhash, text_stages
+from .stages.exchange import ensure_context, stamp_schema
+
+# ---------------------------------------------------------------- SQL CTEs --
+
+SQL_TOKS = """
+toks AS (
+  SELECT DISTINCT doc_id, t.token AS token
+  FROM documents, UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(token)
+)
+"""
+
+SQL_SEQS = """
+seqs AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+)
+"""
+
+SQL_SHINGLES = (
+    SQL_SEQS
+    + """,
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i.i : i.i + 4], ' ') AS key
+  FROM seqs, UNNEST(generate_series(1, len(toks) - 4)) AS i(i)
+  WHERE len(toks) >= 5
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') AS key FROM seqs WHERE len(toks) BETWEEN 1 AND 4
+)
+"""
+)
+
+SQL_SHINGLE_PAIRS = (
+    SQL_SHINGLES
+    + """,
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS cbs
+  FROM sh a JOIN sh b ON a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+bsizes AS (SELECT key, count(*) AS bs FROM sh GROUP BY key),
+sh2 AS (SELECT sh.doc_id, sh.key FROM sh JOIN bsizes USING (key) WHERE bs >= 2),
+bpe AS (SELECT doc_id, count(*) AS bpe FROM sh2 GROUP BY doc_id)
+"""
+)
+
+from .functions.text import EN_STOPWORDS
+
+SQL_STOPWORDS = "('" + "', '".join(sorted(EN_STOPWORDS)) + "')"
+
+
+# ---------------------------------------------------------------- helpers --
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return read_documents(sf_dir, columns=columns)
+
+
+def _shingle_edges(sf_dir: str) -> ray.data.Dataset:
+    d = _docs(sf_dir, ["doc_id", "text"])
+    return blocking.explode_keys(d, keyer="shingle", k=5)
+
+
+def _shingle_candidates(sf_dir: str) -> ray.data.Dataset:
+    """(id1, id2, cbs) over word-5-shingle keys, uncapped (comparison
+    propagation + CBS semantics)."""
+    return blocking.candidate_pairs(
+        _shingle_edges(sf_dir).materialize(), max_block_size=1 << 30, chain_oversize=False
+    )
+
+
+def _cleaned_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Edges restricted to blocks of size >= 2 (the reference's cleaned block
+    collection that entity stats are computed over)."""
+    return blocking.blocks_with_sizes(edges, min_size=2).select_columns(["key", "doc_id"])
+
+
+def _round_col(ds: ray.data.Dataset, col: str, digits: int) -> ray.data.Dataset:
+    def _r(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or col not in batch.column_names:
+            return batch
+        vals = np.round(batch[col].to_numpy(zero_copy_only=False).astype(np.float64), digits)
+        i = batch.column_names.index(col)
+        return batch.set_column(i, col, pa.array(vals, pa.float64()))
+
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- queries --
+
+
+def q_lang_filter(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).filter(expr="lang == 'en'")
+
+
+def q_token_count(sf_dir: str):
+    d = _docs(sf_dir, ["doc_id", "text"])
+    return text_stages.add_token_counts(d).select_columns(["doc_id", "n_tokens"])
+
+
+def q_fingerprint(sf_dir: str):
+    d = _docs(sf_dir, ["doc_id", "text"])
+    return text_stages.add_fingerprint(d).select_columns(["doc_id", "fingerprint"])
+
+
+def q_exact_dedup(sf_dir: str):
+    return dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_quality(sf_dir: str):
+    d = _docs(sf_dir, ["doc_id", "text"])
+    return text_stages.add_quality(d).select_columns(
+        ["doc_id", "n_tokens", "mean_token_len", "punct_ratio", "stopword_ratio", "quality_score"]
+    )
+
+
+def _blocking_query(sf_dir: str, keyer: str, min_size: int = 2, max_size: int | None = None, **kw):
+    d = _docs(sf_dir, ["doc_id", "text"])
+    edges = blocking.explode_keys(d, keyer=keyer, **kw)
+    sizes = blocking.block_sizes(edges).filter(expr=f"block_size >= {min_size}")
+    if max_size is not None:
+        sizes = sizes.filter(expr=f"block_size <= {max_size}")
+    return sizes
+
+
+def q_standard_blocking(sf_dir: str):
+    return _blocking_query(sf_dir, "standard")
+
+
+def q_qgram_blocking(sf_dir: str):
+    return _blocking_query(sf_dir, "qgrams", q=6)
+
+
+def q_suffix_blocking(sf_dir: str):
+    # SuffixArraysBlocking drops blocks larger than 53 (block_building.py:579-633)
+    return _blocking_query(sf_dir, "suffix", max_size=53, suffix_length=6)
+
+
+def q_block_purging(sf_dir: str):
+    d = _docs(sf_dir, ["doc_id", "text"])
+    edges = blocking.explode_keys(d, keyer="standard").materialize()
+    cleaned = _cleaned_edges(edges).materialize()
+    purged, _thr = block_cleaning.block_purging(cleaned)
+    return blocking.block_sizes(purged)
+
+
+def q_block_filtering(sf_dir: str):
+    d = _docs(sf_dir, ["doc_id", "text"])
+    edges = blocking.explode_keys(d, keyer="standard").materialize()
+    cleaned = _cleaned_edges(edges).materialize()
+    return block_cleaning.block_filtering(cleaned, ratio=0.8).select_columns(["key", "doc_id"])
+
+
+def q_shingle_cbs_pairs(sf_dir: str):
+    return _shingle_candidates(sf_dir)
+
+
+def q_shingle_jaccard_pairs(sf_dir: str):
+    """Exact n-gram (5-word-shingle) Jaccard per candidate pair."""
+    cands = _shingle_candidates(sf_dir)
+    edges = _shingle_edges(sf_dir)
+    ns = stamp_schema(
+        edges.groupby("doc_id").aggregate(Count(alias_name="ns")),
+        pa.schema([("doc_id", pa.int64()), ("ns", pa.int64())]),
+    )
+    from .stages.exchange import hash_join
+
+    p = hash_join(cands, ns.rename_columns({"doc_id": "id1", "ns": "n1"}), on=("id1",))
+    p = hash_join(p, ns.rename_columns({"doc_id": "id2", "ns": "n2"}), on=("id2",))
+
+    def _j(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cbs" not in batch.column_names:
+            return pa.schema(
+                [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+            ).empty_table()
+        c = batch["cbs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n1 = batch["n1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n2 = batch["n2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = c / (n1 + n2 - c)
+        return pa.table(
+            {"id1": batch["id1"], "id2": batch["id2"], "weight": pa.array(w, pa.float64())}
+        )
+
+    return p.map_batches(_j, batch_format="pyarrow")
+
+
+def _weighted(sf_dir: str, scheme: str):
+    cands = _shingle_candidates(sf_dir).materialize()
+    cleaned = _cleaned_edges(_shingle_edges(sf_dir)).materialize()
+    return meta_blocking.weighted_pairs(cands, cleaned, scheme=scheme), cands, cleaned
+
+
+def q_js_weights(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "JS")
+    return w.select_columns(["id1", "id2", "weight"])
+
+
+def q_ecbs_weights(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "ECBS")
+    return _round_col(w.select_columns(["id1", "id2", "weight"]), "weight", 6)
+
+
+def q_x2_weights(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "X2")
+    return _round_col(w.select_columns(["id1", "id2", "weight"]), "weight", 6)
+
+
+def q_wep_cbs(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "CBS")
+    return meta_blocking.wep(w.materialize()).select_columns(["id1", "id2", "weight"])
+
+
+def q_cep_topk(sf_dir: str):
+    w, _, cleaned = _weighted(sf_dir, "JS")
+    return meta_blocking.cep(w.materialize(), cleaned).select_columns(["id1", "id2", "weight"])
+
+
+def q_cnp_topk(sf_dir: str):
+    w, _, cleaned = _weighted(sf_dir, "CBS")
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    return meta_blocking.cnp(w.materialize(), cleaned, num_entities=n_docs).select_columns(
+        ["id1", "id2", "weight"]
+    )
+
+
+def q_wnp_cbs(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "CBS")
+    return meta_blocking.wnp(w.materialize()).select_columns(["id1", "id2", "weight"])
+
+
+def q_blast_cbs(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "CBS")
+    return meta_blocking.blast(w.materialize()).select_columns(["id1", "id2", "weight"])
+
+
+def q_progressive_top(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "JS")
+    return meta_blocking.progressive_top(w, budget=100).select_columns(["id1", "id2", "weight"])
+
+
+def q_ejoin(sf_dir: str):
+    return joins.ejoin(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.82, metric="cosine",
+        tokenization="standard",
+    )
+
+
+def q_topk_join(sf_dir: str):
+    out = joins.topk_join(
+        _docs(sf_dir, ["doc_id", "text"]), k=5, metric="cosine", tokenization="standard"
+    )
+    return out.select_columns(["id1", "id2", "weight"])
+
+
+def q_cc_lang_chain(sf_dir: str):
+    """Distributed union-find (label propagation) over per-language chain
+    edges — SQL oracle: min(doc_id) over (partition by lang)."""
+    d = _docs(sf_dir, ["doc_id", "lang"])
+
+    def _chain(group: pa.Table) -> pa.Table:
+        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
+        if ids.size < 2:
+            return pa.table({"id1": pa.array(ids, pa.int64()), "id2": pa.array(ids, pa.int64())})
+        return pa.table(
+            {"id1": pa.array(ids[:-1], pa.int64()), "id2": pa.array(ids[1:], pa.int64())}
+        )
+
+    ensure_context()
+    edges = d.groupby("lang").map_groups(_chain, batch_format="pyarrow")
+    return clustering.connected_components(edges, mode="driver")
+
+
+def q_knn_embeddings(sf_dir: str):
+    emb = read_embeddings(sf_dir)
+    head = sorted(emb.filter(expr="vec_id < 10").take_all(), key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    qvecs = np.array([r["embedding"] for r in head], dtype=np.float64)
+    out = ann.knn_brute_force(emb, qvecs, qids, k=5, dtype=np.float64, score_round=6)
+    return out.select_columns(["query_id", "neighbor_id", "rank", "score"])
+
+
+def q_embedding_neardup(sf_dir: str):
+    out = ann.embedding_neardup(read_embeddings(sf_dir), threshold=0.3, bucket_col="label")
+    return _round_col(out, "score", 6)
+
+
+# rows-only entries (non-SQL-expressible: hash-based or stateful) ------------
+
+
+def q_minhash_candidates(sf_dir: str):
+    d = _docs(sf_dir, ["doc_id", "text"])
+    cfg = DedupConfig()
+    sigs = minhash.sign(d, cfg).materialize()
+    return blocking.candidate_pairs(
+        minhash.explode_bands(sigs), max_block_size=cfg.max_block_size
+    )
+
+
+def q_minhash_dedup_clusters(sf_dir: str):
+    from .sources.webpages import synthesize_webpages
+
+    wp = synthesize_webpages(sf_dir).materialize()
+    res = dedup.minhash_dedup(wp, DedupConfig(), cluster_mode="driver", verify_mode="broadcast")
+    return res["clusters"]
+
+
+def q_simhash_clusters(sf_dir: str):
+    from .sources.webpages import synthesize_webpages
+
+    wp = synthesize_webpages(sf_dir).materialize()
+    res = dedup.simhash_dedup(wp, DedupConfig(), cluster_mode="driver", verify_mode="broadcast")
+    return res["clusters"]
+
+
+def q_lang_id(sf_dir: str):
+    d = _docs(sf_dir, ["doc_id", "text"])
+    return text_stages.add_lang_id(d).select_columns(["doc_id", "lang_pred"])
+
+
+def q_multimodal_features(sf_dir: str):
+    from .stages.multimodal import extract_media_features, synthesize_media
+
+    media = synthesize_media(n=64)
+    return extract_media_features(media, batch_size=16, concurrency=2)
+
+
+def q_ivf_knn(sf_dir: str):
+    emb = read_embeddings(sf_dir)
+    head = sorted(emb.take(200), key=lambda r: r["vec_id"])[:10]
+    qids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    qvecs = np.array([r["embedding"] for r in head], dtype=np.float64)
+    qbuckets = np.array([r["label"] for r in head])
+    return ann.ivf_knn(emb, qvecs, qids, qbuckets, k=5)
+
+
+
+# ---------------------------------------------------------------- registry --
+
+
+def queries():
+    return {
+        "lang_filter": q_lang_filter,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "quality_stats": q_quality,
+        "standard_blocking": q_standard_blocking,
+        "qgram_blocking": q_qgram_blocking,
+        "suffix_blocking": q_suffix_blocking,
+        "block_purging": q_block_purging,
+        "block_filtering": q_block_filtering,
+        "shingle_cbs_pairs": q_shingle_cbs_pairs,
+        "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
+        "js_weights": q_js_weights,
+        "ecbs_weights": q_ecbs_weights,
+        "x2_weights": q_x2_weights,
+        "wep_cbs": q_wep_cbs,
+        "cep_topk": q_cep_topk,
+        "cnp_topk": q_cnp_topk,
+        "wnp_cbs": q_wnp_cbs,
+        "blast_cbs": q_blast_cbs,
+        "progressive_top": q_progressive_top,
+        "ejoin": q_ejoin,
+        "topk_join": q_topk_join,
+        "cc_lang_chain": q_cc_lang_chain,
+        "knn_embeddings": q_knn_embeddings,
+        "embedding_neardup": q_embedding_neardup,
+        # rows-only (hash-based / stateful / synthetic input):
+        "minhash_candidates": q_minhash_candidates,
+        "minhash_dedup_clusters": q_minhash_dedup_clusters,
+        "simhash_clusters": q_simhash_clusters,
+        "lang_id": q_lang_id,
+        "multimodal_features": q_multimodal_features,
+        "ivf_knn": q_ivf_knn,
+    }
+
+
+def oracle_sql():
+    toks = "WITH " + SQL_TOKS
+    return {
+        "lang_filter": "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+        "token_count": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT doc_id,
+                   min(doc_id) OVER (
+                     PARTITION BY md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' '))
+                   ) AS cluster_id
+            FROM documents
+        """,
+        "quality_stats": f"""
+            WITH {SQL_SEQS}
+            SELECT doc_id,
+              len(toks) AS n_tokens,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_token_len,
+              CASE WHEN length(d.text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(d.text, '[a-zA-Z0-9 \t\n]', '', 'g')) AS DOUBLE) / length(d.text) END AS punct_ratio,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(toks, x -> x IN {SQL_STOPWORDS})) AS DOUBLE) / len(toks) END AS stopword_ratio,
+              (CASE WHEN len(toks) < 20 OR len(toks) > 100000 THEN 0.5 ELSE 1.0 END)
+              * (CASE WHEN len(toks) = 0 OR NOT (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0) THEN 0.5 ELSE 1.0 END)
+              * (CASE WHEN length(d.text) > 0 AND CAST(length(regexp_replace(d.text, '[a-zA-Z0-9 \t\n]', '', 'g')) AS DOUBLE) / length(d.text) > 0.3 THEN 0.5 ELSE 1.0 END)
+              AS quality_score
+            FROM seqs JOIN documents d USING (doc_id)
+        """,
+        "standard_blocking": toks + """
+            SELECT token AS key, count(*) AS block_size FROM toks GROUP BY token HAVING count(*) >= 2
+        """,
+        "qgram_blocking": toks + """,
+            keys AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN length(token) < 6 THEN token ELSE substr(token, i.i, 6) END AS key
+              FROM toks, UNNEST(generate_series(1, greatest(1, length(token) - 5))) AS i(i)
+            )
+            SELECT key, count(*) AS block_size FROM keys GROUP BY key HAVING count(*) >= 2
+        """,
+        "suffix_blocking": toks + """,
+            keys AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN length(token) < 6 THEN token ELSE substr(token, i.i) END AS key
+              FROM toks, UNNEST(generate_series(1, greatest(1, length(token) - 5))) AS i(i)
+            )
+            SELECT key, count(*) AS block_size FROM keys GROUP BY key
+            HAVING count(*) >= 2 AND count(*) <= 53
+        """,
+        "block_purging": toks + """,
+            sizes AS (SELECT token AS key, count(*) AS s FROM toks GROUP BY token HAVING count(*) >= 2),
+            levels AS (SELECT s * (s - 1) // 2 AS card, sum(s) AS sz, count(*) AS nb FROM sizes GROUP BY 1),
+            ordered AS (
+              SELECT card,
+                     sum(sz) OVER (ORDER BY card) AS bc,
+                     sum(card * nb) OVER (ORDER BY card) AS cc,
+                     row_number() OVER (ORDER BY card) AS rn,
+                     count(*) OVER () AS L
+              FROM levels
+            ),
+            cond AS (
+              SELECT cur.rn
+              FROM ordered cur JOIN ordered prv ON prv.rn = cur.rn + 1
+              WHERE cur.rn BETWEEN 2 AND cur.L - 1
+                AND CAST(cur.bc AS DOUBLE) * prv.cc < 1.025 * CAST(cur.cc AS DOUBLE) * prv.bc
+            ),
+            thr AS (
+              SELECT COALESCE(
+                (SELECT o.card FROM ordered o WHERE o.rn = (SELECT max(rn) + 1 FROM cond)),
+                (SELECT o.card FROM ordered o WHERE o.rn = 3),
+                0) AS threshold
+            )
+            SELECT key, s AS block_size FROM sizes, thr WHERE s * (s - 1) // 2 <= threshold
+        """,
+        "block_filtering": toks + """,
+            sizes AS (SELECT token AS key, count(*) AS s FROM toks GROUP BY token HAVING count(*) >= 2),
+            annotated AS (
+              SELECT t.doc_id, t.token AS key, z.s * (z.s - 1) // 2 AS card
+              FROM toks t JOIN sizes z ON t.token = z.key
+            ),
+            ranked AS (
+              SELECT doc_id, key,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY card, key) AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM annotated
+            ),
+            kept AS (SELECT doc_id, key FROM ranked WHERE rn <= floor(0.8 * n + 0.5))
+            SELECT key, doc_id FROM kept
+            WHERE key IN (SELECT key FROM kept GROUP BY key HAVING count(*) >= 2)
+        """,
+        "shingle_cbs_pairs": "WITH " + SQL_SHINGLE_PAIRS + "SELECT id1, id2, cbs FROM pairs",
+        "shingle_jaccard_pairs": "WITH " + SQL_SHINGLE_PAIRS + """,
+            ns AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id)
+            SELECT id1, id2,
+                   CAST(cbs AS DOUBLE) / (a.ns + b.ns - cbs) AS weight
+            FROM pairs JOIN ns a ON a.doc_id = id1 JOIN ns b ON b.doc_id = id2
+        """,
+        "js_weights": "WITH " + SQL_SHINGLE_PAIRS + """
+            SELECT id1, id2, CAST(cbs AS DOUBLE) / (a.bpe + b.bpe - cbs) AS weight
+            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2
+        """,
+        "ecbs_weights": "WITH " + SQL_SHINGLE_PAIRS + """,
+            nb AS (SELECT count(*) AS B FROM bsizes WHERE bs >= 2)
+            SELECT id1, id2,
+                   round(CAST(cbs AS DOUBLE) * log10(CAST(B AS DOUBLE) / a.bpe) * log10(CAST(B AS DOUBLE) / b.bpe), 6) AS weight
+            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2, nb
+        """,
+        "x2_weights": "WITH " + SQL_SHINGLE_PAIRS + """,
+            nb AS (SELECT CAST(count(*) AS DOUBLE) AS B FROM bsizes WHERE bs >= 2)
+            SELECT id1, id2, round(
+              (cbs - (a.bpe * b.bpe / B)) ^ 2 / (a.bpe * b.bpe / B)
+            + ((a.bpe - cbs) - (a.bpe * (B - b.bpe) / B)) ^ 2 / (a.bpe * (B - b.bpe) / B)
+            + ((b.bpe - cbs) - ((B - a.bpe) * b.bpe / B)) ^ 2 / ((B - a.bpe) * b.bpe / B)
+            + ((B - (a.bpe + b.bpe - cbs)) - ((B - a.bpe) * (B - b.bpe) / B)) ^ 2 / ((B - a.bpe) * (B - b.bpe) / B)
+            , 6) AS weight
+            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2, nb
+        """,
+        "wep_cbs": q_wep_cbs,
+        "cep_topk": q_cep_topk,
+        "cnp_topk": q_cnp_topk,
+        "wnp_cbs": q_wnp_cbs,
+        "blast_cbs": q_blast_cbs,
+        "progressive_top": q_progressive_top,
+        "ejoin": q_ejoin,
+        "topk_join": q_topk_join,
+        "cc_lang_chain": q_cc_lang_chain,
+        "knn_embeddings": q_knn_embeddings,
+        "embedding_neardup": q_embedding_neardup,
+        # rows-only (hash-based / stateful / synthetic input):
+        "minhash_candidates": q_minhash_candidates,
+        "minhash_dedup_clusters": q_minhash_dedup_clusters,
+        "simhash_clusters": q_simhash_clusters,
+        "lang_id": q_lang_id,
+        "multimodal_features": q_multimodal_features,
+        "ivf_knn": q_ivf_knn,
+    }
+
+
+def oracle_sql():
+    toks = "WITH " + SQL_TOKS
+    return {
+        "lang_filter": "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+        "token_count": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT doc_id,
+                   min(doc_id) OVER (
+                     PARTITION BY md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' '))
+                   ) AS cluster_id
+            FROM documents
+        """,
+        "quality_stats": f"""
+            WITH {SQL_SEQS}
+            SELECT doc_id,
+              len(toks) AS n_tokens,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_token_len,
+              CASE WHEN length(d.text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(d.text, '[a-zA-Z0-9 \t\n]', '', 'g')) AS DOUBLE) / length(d.text) END AS punct_ratio,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(toks, x -> x IN {SQL_STOPWORDS})) AS DOUBLE) / len(toks) END AS stopword_ratio,
+              (CASE WHEN len(toks) < 20 OR len(toks) > 100000 THEN 0.5 ELSE 1.0 END)
+              * (CASE WHEN len(toks) = 0 OR NOT (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0) THEN 0.5 ELSE 1.0 END)
+              * (CASE WHEN length(d.text) > 0 AND CAST(length(regexp_replace(d.text, '[a-zA-Z0-9 \t\n]', '', 'g')) AS DOUBLE) / length(d.text) > 0.3 THEN 0.5 ELSE 1.0 END)
+              AS quality_score
+            FROM seqs JOIN documents d USING (doc_id)
+        """,
+        "standard_blocking": toks + """
+            SELECT token AS key, count(*) AS block_size FROM toks GROUP BY token HAVING count(*) >= 2
+        """,
+        "qgram_blocking": toks + """,
+            keys AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN length(token) < 6 THEN token ELSE substr(token, i.i, 6) END AS key
+              FROM toks, UNNEST(generate_series(1, greatest(1, length(token) - 5))) AS i(i)
+            )
+            SELECT key, count(*) AS block_size FROM keys GROUP BY key HAVING count(*) >= 2
+        """,
+        "suffix_blocking": toks + """,
+            keys AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN length(token) < 6 THEN token ELSE substr(token, i.i) END AS key
+              FROM toks, UNNEST(generate_series(1, greatest(1, length(token) - 5))) AS i(i)
+            )
+            SELECT key, count(*) AS block_size FROM keys GROUP BY key
+            HAVING count(*) >= 2 AND count(*) <= 53
+        """,
+        "block_purging": toks + """,
+            sizes AS (SELECT token AS key, count(*) AS s FROM toks GROUP BY token HAVING count(*) >= 2),
+            levels AS (SELECT s * (s - 1) // 2 AS card, sum(s) AS sz, count(*) AS nb FROM sizes GROUP BY 1),
+            ordered AS (
+              SELECT card,
+                     sum(sz) OVER (ORDER BY card) AS bc,
+                     sum(card * nb) OVER (ORDER BY card) AS cc,
+                     row_number() OVER (ORDER BY card) AS rn,
+                     count(*) OVER () AS L
+              FROM levels
+            ),
+            cond AS (
+              SELECT cur.rn
+              FROM ordered cur JOIN ordered prv ON prv.rn = cur.rn + 1
+              WHERE cur.rn BETWEEN 2 AND cur.L - 1
+                AND CAST(cur.bc AS DOUBLE) * prv.cc < 1.025 * CAST(cur.cc AS DOUBLE) * prv.bc
+            ),
+            thr AS (
+              SELECT COALESCE(
+                (SELECT o.card FROM ordered o WHERE o.rn = (SELECT max(rn) + 1 FROM cond)),
+                (SELECT o.card FROM ordered o WHERE o.rn = 3),
+                0) AS threshold
+            )
+            SELECT key, s AS block_size FROM sizes, thr WHERE s * (s - 1) // 2 <= threshold
+        """,
+        "block_filtering": toks + """,
+            sizes AS (SELECT token AS key, count(*) AS s FROM toks GROUP BY token HAVING count(*) >= 2),
+            annotated AS (
+              SELECT t.doc_id, t.token AS key, z.s * (z.s - 1) // 2 AS card
+              FROM toks t JOIN sizes z ON t.token = z.key
+            ),
+            ranked AS (
+              SELECT doc_id, key,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY card, key) AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM annotated
+            ),
+            kept AS (SELECT doc_id, key FROM ranked WHERE rn <= floor(0.8 * n + 0.5))
+            SELECT key, doc_id FROM kept
+            WHERE key IN (SELECT key FROM kept GROUP BY key HAVING count(*) >= 2)
+        """,
+        "shingle_cbs_pairs": "WITH " + SQL_SHINGLE_PAIRS + "SELECT id1, id2, cbs FROM pairs",
+        "shingle_jaccard_pairs": "WITH " + SQL_SHINGLE_PAIRS + """,
+            ns AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id)
+            SELECT id1, id2,
+                   CAST(cbs AS DOUBLE) / (a.ns + b.ns - cbs) AS weight
+            FROM pairs JOIN ns a ON a.doc_id = id1 JOIN ns b ON b.doc_id = id2
+        """,
+        "js_weights": "WITH " + SQL_SHINGLE_PAIRS + """
+            SELECT id1, id2, CAST(cbs AS DOUBLE) / (a.bpe + b.bpe - cbs) AS weight
+            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2
+        """,
+        "ecbs_weights": "WITH " + SQL_SHINGLE_PAIRS + """,
+            nb AS (SELECT count(*) AS B FROM bsizes WHERE bs >= 2)
+            SELECT id1, id2,
+                   round(CAST(cbs AS DOUBLE) * log10(CAST(B AS DOUBLE) / a.bpe) * log10(CAST(B AS DOUBLE) / b.bpe), 6) AS weight
+            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2, nb
+        """,
+        "x2_weights": "WITH " + SQL_SHINGLE_PAIRS + """,
+            nb AS (SELECT count(*) AS B FROM bsizes WHERE bs >= 2)
+            SELECT id1, id2, round(
+              (CAST(cbs AS DOUBLE)              - (cbs + (a.bpe - cbs)) * (cbs + (b.bpe - cbs)) / t) ^ 2 / ((cbs + (a.bpe - cbs)) * (cbs + (b.bpe - cbs)) / t)
+            + (CAST(a.bpe - cbs AS DOUBLE)      - (cbs + (a.bpe - cbs)) * ((a.bpe - cbs) + (B - (a.bpe + b.bpe - cbs))) / t) ^ 2 / ((cbs + (a.bpe - cbs)) * ((a.bpe - cbs) + (B - (a.bpe + b.bpe - cbs))) / t)
+            + (CAST(b.bpe - cbs AS DOUBLE)      - ((b.bpe - cbs) + (B - (a.bpe + b.bpe - cbs))) * (cbs + (b.bpe - cbs)) / t) ^ 2 / (((b.bpe - cbs) + (B - (a.bpe + b.bpe - cbs))) * (cbs + (b.bpe - cbs)) / t)
+            + (CAST(B - (a.bpe + b.bpe - cbs) AS DOUBLE) - ((b.bpe - cbs) + (B - (a.bpe + b.bpe - cbs))) * ((a.bpe - cbs) + (B - (a.bpe + b.bpe - cbs))) / t) ^ 2 / (((b.bpe - cbs) + (B - (a.bpe + b.bpe - cbs))) * ((a.bpe - cbs) + (B - (a.bpe + b.bpe - cbs))) / t)
+            , 6) AS weight
+            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2,
+                 nb, LATERAL (SELECT CAST(cbs + (a.bpe - cbs) + (b.bpe - cbs) + (B - (a.bpe + b.bpe - cbs)) AS DOUBLE) AS t)
+        """,
+        "wep_cbs": "WITH " + SQL_SHINGLE_PAIRS + """
+            SELECT id1, id2, CAST(cbs AS DOUBLE) AS weight FROM pairs
+            WHERE CAST(cbs AS DOUBLE) >= (SELECT avg(CAST(cbs AS DOUBLE)) FROM pairs)
+        """,
+        "cep_topk": "WITH " + SQL_SHINGLE_PAIRS + """,
+            wpairs AS (
+              SELECT id1, id2, CAST(cbs AS DOUBLE) / (a.bpe + b.bpe - cbs) AS weight
+              FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2
+            ),
+            k AS (SELECT count(*) // 2 AS k FROM sh2)
+            SELECT id1, id2, weight FROM wpairs
+            ORDER BY weight DESC, id1, id2 LIMIT (SELECT k FROM k)
+        """,
+        "cnp_topk": "WITH " + SQL_SHINGLE_PAIRS + """,
+            wpairs AS (SELECT id1, id2, CAST(cbs AS DOUBLE) AS weight FROM pairs),
+            k AS (SELECT greatest(1, (SELECT count(*) FROM sh2) // (SELECT count(*) FROM documents)) AS k),
+            directed AS (
+              SELECT id1 AS center, id2 AS nb, weight FROM wpairs
+              UNION ALL SELECT id2, id1, weight FROM wpairs
+            ),
+            ranked AS (
+              SELECT center, nb, weight,
+                     row_number() OVER (PARTITION BY center ORDER BY weight DESC, nb) AS rn
+              FROM directed
+            ),
+            kept AS (SELECT center, nb, weight FROM ranked, k WHERE rn <= k.k)
+            SELECT least(center, nb) AS id1, greatest(center, nb) AS id2, max(weight) AS weight
+            FROM kept GROUP BY 1, 2
+        """,
+        "wnp_cbs": "WITH " + SQL_SHINGLE_PAIRS + """,
+            wpairs AS (SELECT id1, id2, CAST(cbs AS DOUBLE) AS weight FROM pairs),
+            nodes AS (
+              SELECT id1 AS node, weight FROM wpairs UNION ALL SELECT id2, weight FROM wpairs
+            ),
+            avgs AS (SELECT node, avg(weight) AS a FROM nodes GROUP BY node)
+            SELECT id1, id2, weight FROM wpairs
+            JOIN avgs x ON x.node = id1 JOIN avgs y ON y.node = id2
+            WHERE weight >= x.a OR weight >= y.a
+        """,
+        "blast_cbs": "WITH " + SQL_SHINGLE_PAIRS + """,
+            wpairs AS (SELECT id1, id2, CAST(cbs AS DOUBLE) AS weight FROM pairs),
+            nodes AS (
+              SELECT id1 AS node, weight FROM wpairs UNION ALL SELECT id2, weight FROM wpairs
+            ),
+            mx AS (SELECT node, max(weight) AS m FROM nodes GROUP BY node)
+            SELECT id1, id2, weight FROM wpairs
+            JOIN mx x ON x.node = id1 JOIN mx y ON y.node = id2
+            WHERE weight >= (x.m + y.m) / 4
+        """,
+        "progressive_top": "WITH " + SQL_SHINGLE_PAIRS + """
+            SELECT id1, id2, CAST(cbs AS DOUBLE) / (a.bpe + b.bpe - cbs) AS weight
+            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2
+            ORDER BY weight DESC, id1, id2 LIMIT 100
+        """,
+        "ejoin": toks + """,
+            cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            commons AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+              FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id1, id2, CAST(c AS DOUBLE) / sqrt(CAST(x.n AS DOUBLE) * y.n) AS weight
+            FROM commons JOIN cnt x ON x.doc_id = id1 JOIN cnt y ON y.doc_id = id2
+            WHERE CAST(c AS DOUBLE) / sqrt(CAST(x.n AS DOUBLE) * y.n) >= 0.82
+        """,
+        "topk_join": toks + """,
+            cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            commons AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+              FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            wpairs AS (
+              SELECT id1, id2, CAST(c AS DOUBLE) / sqrt(CAST(x.n AS DOUBLE) * y.n) AS weight
+              FROM commons JOIN cnt x ON x.doc_id = id1 JOIN cnt y ON y.doc_id = id2
+            ),
+            directed AS (
+              SELECT id1, id2, weight FROM wpairs UNION ALL SELECT id2, id1, weight FROM wpairs
+            ),
+            ranked AS (
+              SELECT id1, id2, weight,
+                     row_number() OVER (PARTITION BY id1 ORDER BY weight DESC, id2) AS rn
+              FROM directed
+            )
+            SELECT id1, id2, weight FROM ranked WHERE rn <= 5
+        """,
+        "cc_lang_chain": """
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY lang) AS cluster_id FROM documents
+        """,
+        "knn_embeddings": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+            ),
+            s AS (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.qid
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, round(score, 6) AS score,
+                     row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, rank, score
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+    }

@@ -46,7 +46,7 @@ def extract_and_project(
                         raise ValueError(f"html->text mismatch for url {u}")
         else:
             texts = batch["text"].to_pylist()
-        ids = hash64_array(urls, seed=0x0D0C).view(np.int64) >> 1  # non-negative
+        ids = (hash64_array(urls, seed=0x0D0C) >> np.uint64(1)).astype(np.int64)  # non-negative
         cols = {
             "doc_id": pa.array(ids, pa.int64()),
             "url": batch["url"],

@@ -35,13 +35,13 @@ KNN_SCHEMA = pa.schema(
 PAIR_SCHEMA = pa.schema([("id1", pa.int64()), ("id2", pa.int64()), ("score", pa.float64())])
 
 
-def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+def _batch_matrix(batch: pa.Table, vec_col: str, dtype=np.float32) -> np.ndarray:
     col = batch[vec_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     import pyarrow.compute as pc
 
-    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float32)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(dtype)
     lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
     if len(set(lens.tolist())) > 1:
         raise ValueError(f"ragged embedding column: lengths {sorted(set(lens.tolist()))[:5]}")
@@ -63,9 +63,14 @@ def knn_brute_force(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    dtype=np.float32,
+    score_round: int | None = None,
 ) -> ray.data.Dataset:
-    """Exact cosine top-k: (query_id, neighbor_id, score, rank), rank 1..k."""
-    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    """Exact cosine top-k: (query_id, neighbor_id, score, rank), rank 1..k.
+
+    dtype=np.float64 + score_round for bit-parity with double-precision
+    oracles (scores are rounded BEFORE ranking so ties break identically)."""
+    qm = _normalize(np.asarray(queries, dtype=dtype))
     qref = ray.put((qm, np.asarray(query_ids, dtype=np.int64)))
 
     def _local_topk(batch: pa.Table) -> pa.Table:
@@ -74,9 +79,11 @@ def knn_brute_force(
                 [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("score", pa.float64())]
             ).empty_table()
         q, qids = ray.get(qref)
-        m = _normalize(_batch_matrix(batch, vec_col))
+        m = _normalize(_batch_matrix(batch, vec_col, dtype))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         scores = q @ m.T  # (Q, batch)
+        if score_round is not None:
+            scores = np.round(scores, score_round)
         if exclude_self:
             mask = qids[:, None] == ids[None, :]
             scores = np.where(mask, -np.inf, scores)
@@ -119,6 +126,7 @@ def embedding_neardup(
     vec_col: str = "embedding",
     bucket_col: str | None = "label",
     max_bucket: int = 100_000,
+    dtype=np.float64,
 ) -> ray.data.Dataset:
     """(id1, id2, score) pairs with cosine >= threshold, id1 < id2.
 
@@ -135,7 +143,7 @@ def embedding_neardup(
             return PAIR_SCHEMA.empty_table()
         if n > max_bucket:
             raise ValueError(f"bucket of {n} rows exceeds max_bucket={max_bucket}")
-        m = _normalize(_batch_matrix(group, vec_col))
+        m = _normalize(_batch_matrix(group, vec_col, dtype))
         ids = group[id_col].to_numpy(zero_copy_only=False)
         sims = m @ m.T
         iu, ju = np.triu_indices(n, k=1)

@@ -24,6 +24,7 @@ only implemented for the hash-shuffle backend) — ``ensure_context()`` sets it.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
@@ -74,26 +75,31 @@ def stamp_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
             return schema.empty_table()
         return batch
 
-    return ds.map_batches(_stamp, batch_format="pyarrow")
+    stamped = ds.map_batches(_stamp, batch_format="pyarrow")
+    # a zero-row seed block guarantees the dataset always HAS the schema,
+    # even when every upstream block was dropped (all-empty aggregations)
+    seed = ray.data.from_arrow(schema.empty_table())
+    return seed.union(stamped)
 
 
-@ray.remote
-def _partition_join(
-    left: pa.Table,
-    right: pa.Table,
-    left_schema: pa.Schema,
-    right_schema: pa.Schema,
-    keys: list,
-    right_keys: list,
-    join_type: str,
-) -> pa.Table:
-    if left.num_columns == 0:
-        left = left_schema.empty_table()
-    if right.num_columns == 0:
-        right = right_schema.empty_table()
-    return left.join(
-        right, keys=keys, right_keys=right_keys, join_type=join_type
-    )
+_SIDE = "__jside"
+
+
+def _block_schema(materialized: ray.data.Dataset) -> pa.Schema | None:
+    """Schema of the first non-empty block. ``Dataset.schema()`` metadata can
+    go stale through union+rename chains (blocks carry the renamed columns
+    while the dataset reports pre-rename names), so schemas that drive join
+    semantics are always derived from actual block data."""
+    fallback = None
+    for ref in materialized.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            return t.schema
+        if t.num_columns and fallback is None:
+            # 0-row blocks can carry STALE names (Ray's rename Project skips
+            # empty blocks) — only trust them when no row-bearing block exists
+            fallback = t.schema
+    return fallback
 
 
 def hash_join(
@@ -106,34 +112,84 @@ def hash_join(
 ) -> ray.data.Dataset:
     """Schema-safe distributed hash join (see module docstring).
 
+    Implementation: union-cogroup. Both sides are tagged with a side column,
+    schemas are aligned (missing columns padded with typed nulls), the union
+    is hash-repartitioned ONCE on the key columns, and each partition splits
+    by side and joins locally with pyarrow. Co-location is by construction —
+    no reliance on partition ordering across two shuffles — and empty
+    partitions/sides join correctly because both schemas are known.
+
     join_type: any pyarrow join type ("inner", "left outer", "left semi", ...).
+    Non-key column names must be disjoint between the two sides.
     """
     ensure_context(left)
     ensure_context(right)
     on = list(on)
     right_on = list(right_on or on)
+    if right_on != on:
+        right = right.rename_columns(dict(zip(right_on, on)))
 
-    L = left.repartition(num_partitions, keys=on).materialize()
-    R = right.repartition(num_partitions, keys=right_on).materialize()
-    lsch_w, rsch_w = L.schema(), R.schema()
-    if lsch_w is None or rsch_w is None:
+    L = left.materialize()
+    R = right.materialize()
+    lschema = _block_schema(L)
+    rschema = _block_schema(R)
+    if lschema is None or rschema is None:
         # a side is fully empty with unknown schema (e.g. zero candidate
         # pairs). Inner join => empty result; left-outer with empty right =>
         # left rows unchanged (downstream UDFs must tolerate the missing
         # right-side columns — our stage UDFs guard on column presence).
-        if join_type == "inner" or lsch_w is None:
+        if join_type == "inner" or lschema is None:
             return ray.data.from_arrow(pa.table({}))
         return L
-    lschema = lsch_w.base_schema
-    rschema = rsch_w.base_schema
-    lrefs = L.to_arrow_refs()
-    rrefs = R.to_arrow_refs()
-    if len(lrefs) != len(rrefs):
-        raise RuntimeError(
-            f"partition mismatch: {len(lrefs)} vs {len(rrefs)} (expected {num_partitions})"
-        )
-    out = [
-        _partition_join.remote(l, r, lschema, rschema, on, right_on, join_type)
-        for l, r in zip(lrefs, rrefs)
-    ]
-    return ray.data.from_arrow_refs(out)
+    overlap = (set(lschema.names) & set(rschema.names)) - set(on)
+    if overlap:
+        raise ValueError(f"non-key columns present on both sides: {sorted(overlap)}")
+
+    combined = pa.schema(
+        [(n, lschema.field(n).type) for n in lschema.names]
+        + [(n, rschema.field(n).type) for n in rschema.names if n not in lschema.names]
+        + [(_SIDE, pa.int8())]
+    )
+
+    def _pad(side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name in combined.names:
+                if name == _SIDE:
+                    cols[name] = pa.array(np.full(n, side, dtype=np.int8), pa.int8())
+                elif name in batch.column_names:
+                    cols[name] = batch[name]
+                else:
+                    cols[name] = pa.nulls(n, combined.field(name).type)
+            return pa.table(cols)
+
+        return _f
+
+    unioned = L.map_batches(_pad(0), batch_format="pyarrow").union(
+        R.map_batches(_pad(1), batch_format="pyarrow")
+    )
+    parts = unioned.repartition(num_partitions, keys=on).materialize()
+
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+
+    def _local_join(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            lt = lschema.empty_table()
+            rt = rschema.empty_table()
+        else:
+            import pyarrow.compute as pc
+
+            side = batch[_SIDE]
+            lt = batch.filter(pc.equal(side, 0)).select(lcols)
+            rt = batch.filter(pc.equal(side, 1)).select(rcols)
+            # restore exact dtypes (padding may have widened nothing, but
+            # cast is cheap metadata when types already match)
+            lt = lt.cast(lschema)
+            rt = rt.cast(rschema)
+        return lt.join(rt, keys=on, right_keys=on, join_type=join_type)
+
+    return parts.map_batches(
+        _local_join, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

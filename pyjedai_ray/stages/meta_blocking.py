@@ -306,9 +306,22 @@ def blast(weighted: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Data
                   on=("id1",), num_partitions=num_partitions)
     p = hash_join(p, stats.rename_columns({"node": "id2", "stat": "max2"}),
                   on=("id2",), num_partitions=num_partitions)
-    return p.filter(expr="weight >= (max1 + max2) / 4").select_columns(
-        ["id1", "id2", "cbs", "weight"]
-    )
+
+    # NOTE: not an expr-filter — Ray 2.49's expression parser silently
+    # mis-evaluates arithmetic like (max1 + max2) / 4 (returns no rows).
+    def _keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "weight" not in batch.column_names:
+            return pa.schema(
+                [("id1", pa.int64()), ("id2", pa.int64()),
+                 ("cbs", pa.int64()), ("weight", pa.float64())]
+            ).empty_table()
+        w = batch["weight"].to_numpy(zero_copy_only=False)
+        m1 = batch["max1"].to_numpy(zero_copy_only=False)
+        m2 = batch["max2"].to_numpy(zero_copy_only=False)
+        keep = w >= (m1 + m2) / 4.0
+        return batch.filter(pa.array(keep)).select(["id1", "id2", "cbs", "weight"])
+
+    return p.map_batches(_keep, batch_format="pyarrow")
 
 
 def progressive_top(weighted: ray.data.Dataset, budget: int) -> ray.data.Dataset:

@@ -103,6 +103,15 @@ def label_propagation(edges, max_iters: int = 50):
             .aggregate(Min("cluster_id", alias_name="cluster_id")),
             lab_schema,
         ).materialize()
+        # pointer jumping (path doubling): pull label[label] so chains
+        # converge in O(log n) rounds instead of O(diameter)
+        parents = labels.rename_columns({"node": "cluster_id", "cluster_id": "grand"})
+        jumped = hash_join(labels, parents, on=("cluster_id",), num_partitions=nparts)
+        j1 = jumped.select_columns(["node", "grand"]).rename_columns({"grand": "cluster_id"})
+        labels = stamp_schema(
+            labels.union(j1).groupby("node").aggregate(Min("cluster_id", alias_name="cluster_id")),
+            lab_schema,
+        ).materialize()
         cur_sum = labels.sum("cluster_id")
         if cur_sum == prev_sum:
             break

@@ -1,0 +1,201 @@
+"""Stage-level tests: blocking, cleaning, clustering, joins, ANN, checkpoint."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _edges(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.string()),
+                "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def test_candidate_pairs_counts():
+    from pyjedai_ray.stages.blocking import candidate_pairs
+
+    e = _edges([("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2), ("c", 9)])
+    got = sorted(
+        (r["id1"], r["id2"], r["cbs"]) for r in candidate_pairs(e, max_block_size=64).take_all()
+    )
+    assert got == [(1, 2, 2), (1, 3, 1), (2, 3, 1)]
+
+
+def test_candidate_pairs_chain_oversize():
+    from pyjedai_ray.stages.blocking import candidate_pairs
+
+    e = _edges([("hot", i) for i in range(10)])
+    got = sorted((r["id1"], r["id2"]) for r in candidate_pairs(e, max_block_size=5).take_all())
+    assert got == [(i, i + 1) for i in range(9)]  # chain, not 45 pairs
+
+
+def test_block_filtering_tiny():
+    from pyjedai_ray.stages.block_cleaning import block_filtering
+
+    # doc 1 in blocks a(3),b(2); doc 2 in a,b; doc 3 in a. ratio=0.5:
+    # doc1 keeps round(0.5*2)=1 smallest block -> b (card 1 < card 3)
+    e = _edges([("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2)])
+    got = sorted((r["key"], r["doc_id"]) for r in block_filtering(e, ratio=0.5).take_all())
+    # doc1->b, doc2->b, doc3->a(only block, round(0.5)=1 -> keeps a) but a has 1 entity left -> dropped
+    assert got == [("b", 1), ("b", 2)]
+
+
+def test_block_purging_consistency():
+    """Purged set == {blocks with cardinality <= computed threshold}.
+
+    (Exact threshold semantics vs the reference's cumulative-curve scan are
+    validated against the DuckDB oracle in entry_queries' block_purging.)"""
+    from pyjedai_ray.stages.block_cleaning import block_purging
+    from pyjedai_ray.stages.blocking import block_sizes
+
+    rows = []
+    for k in range(10):
+        rows += [(f"s{k}", 2 * k), (f"s{k}", 2 * k + 1)]
+    for k in range(4):
+        rows += [(f"m{k}", 3 * k), (f"m{k}", 3 * k + 1), (f"m{k}", 3 * k + 2)]
+    rows += [("big", i) for i in range(30)]
+    e = _edges(rows)
+    purged, thr = block_purging(e)
+    kept = {r["key"] for r in purged.take_all()}
+    expect = {
+        r["key"]
+        for r in block_sizes(e).take_all()
+        if r["block_size"] * (r["block_size"] - 1) // 2 <= thr
+    }
+    assert kept == expect
+
+
+def test_label_propagation_chain():
+    import ray.data
+
+    from pyjedai_ray.state.unionfind import label_propagation
+
+    n = 40  # chain 0-1-2-...-39: worst case without pointer jumping
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "id1": pa.array(list(range(n - 1)), pa.int64()),
+                "id2": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in label_propagation(edges, max_iters=12).take_all()}
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_driver_vs_distributed_cc_equal():
+    import ray.data
+
+    from pyjedai_ray.stages.clustering import connected_components
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 60, 80)
+    b = rng.integers(0, 60, 80)
+    edges = ray.data.from_arrow(
+        pa.table({"id1": pa.array(np.minimum(a, b), pa.int64()), "id2": pa.array(np.maximum(a, b), pa.int64())})
+    )
+    d = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges, mode="driver").take_all()}
+    x = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges, mode="distributed").take_all()}
+    assert d == x
+
+
+def test_hash_join_left_outer_and_empty():
+    import ray.data
+
+    from pyjedai_ray.stages.exchange import hash_join
+
+    left = ray.data.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": ["a", "b", "c"]}))
+    right = ray.data.from_arrow(pa.table({"k": pa.array([2], pa.int64()), "w": [20]}))
+    got = sorted(
+        (r["k"], r["v"], r.get("w")) for r in hash_join(left, right, on=("k",), num_partitions=4, join_type="left outer").take_all()
+    )
+    assert got == [(1, "a", None), (2, "b", 20), (3, "c", None)]
+
+    empty = right.filter(expr="k > 100")
+    inner = hash_join(left, empty, on=("k",), num_partitions=4)
+    assert inner.count() == 0
+
+
+def test_ejoin_identical_docs():
+    import ray.data
+
+    from pyjedai_ray.stages.joins import ejoin, topk_join
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["red green blue", "red green blue", "yellow purple cyan"],
+            }
+        )
+    )
+    got = [(r["id1"], r["id2"]) for r in ejoin(docs, threshold=0.9, num_partitions=4).take_all()]
+    assert got == [(1, 2)]
+    tk = topk_join(docs, k=1, num_partitions=4).take_all()
+    assert {(r["id1"], r["id2"]) for r in tk} >= {(1, 2), (2, 1)}
+
+
+def test_knn_brute_force():
+    import ray.data
+
+    from pyjedai_ray.stages.ann import knn_brute_force
+
+    vecs = np.eye(4, dtype=np.float32).tolist() + [[0.9, 0.1, 0.0, 0.0]]
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(5)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = knn_brute_force(emb, np.array([vecs[0]]), np.array([0]), k=2)
+    rows = sorted(out.take_all(), key=lambda r: r["rank"])
+    assert rows[0]["neighbor_id"] == 4  # closest to e0 is the 0.9 vector
+    assert rows[0]["rank"] == 1
+
+
+def test_multimodal_stub_plumbing():
+    from pyjedai_ray.stages.multimodal import extract_media_features, synthesize_media
+
+    media = synthesize_media(n=16)
+    out = extract_media_features(media, batch_size=4, concurrency=2).take_all()
+    assert len(out) == 16
+    assert all(len(r["features"]) == 8 for r in out)
+    # deterministic: same payload -> same features
+    again = extract_media_features(synthesize_media(n=16), batch_size=8, concurrency=2).take_all()
+    a = {r["media_id"]: list(r["features"]) for r in out}
+    b = {r["media_id"]: list(r["features"]) for r in again}
+    assert a == b
+
+
+def test_checkpoint_resume(tmp_path):
+    import ray.data
+
+    from pyjedai_ray.pipelines import checkpoint as ckpt
+
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return ray.data.range(10)
+
+    ds1, chain1 = ckpt.load_or_compute(str(tmp_path), "stage_a", "cfg1", "", compute)
+    assert ds1.count() == 10 and calls["n"] == 1
+    ds2, chain2 = ckpt.load_or_compute(str(tmp_path), "stage_a", "cfg1", "", compute)
+    assert ds2.count() == 10 and calls["n"] == 1  # resumed, not recomputed
+    assert chain1 == chain2
+    # config change invalidates
+    ds3, _ = ckpt.load_or_compute(str(tmp_path), "stage_a", "cfg2", "", compute)
+    assert calls["n"] == 2
+    m = ckpt.read_manifest(str(tmp_path / "stage_a"))
+    assert m["row_count"] == 10 and len(m["partitions"]) >= 1
