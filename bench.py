@@ -22,6 +22,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "4"))  # corpus multiplier
+# scaling runs need a corpus big enough that parallel compute dominates the
+# fixed shuffle setup cost; default higher unless explicitly overridden
+SCALING_EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "128"))
 
 
 def _init_ray(num_cpus: int):
@@ -123,7 +126,11 @@ def main() -> None:
         lo, hi = 8, 32
         results = {}
         for n in (lo, hi):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                GRAFT_BENCH_EXPAND=str(SCALING_EXPAND),
+            )
             p = subprocess.run(
                 [sys.executable, __file__, "--headline-only"],
                 capture_output=True, text=True, env=env,

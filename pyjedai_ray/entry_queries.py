@@ -171,7 +171,12 @@ def q_block_filtering(sf_dir: str):
 
 
 def q_shingle_cbs_pairs(sf_dir: str):
-    return _shingle_candidates(sf_dir)
+    return _shingle_candidates(sf_dir).select_columns(["id1", "id2", "cbs"])
+
+
+def q_arcs_weights(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "ARCS")
+    return _round_col(w.select_columns(["id1", "id2", "weight"]), "weight", 9)
 
 
 def q_shingle_jaccard_pairs(sf_dir: str):
@@ -250,6 +255,24 @@ def q_wnp_cbs(sf_dir: str):
 def q_blast_cbs(sf_dir: str):
     w, _, _ = _weighted(sf_dir, "CBS")
     return meta_blocking.blast(w.materialize()).select_columns(["id1", "id2", "weight"])
+
+
+def q_rcnp_topk(sf_dir: str):
+    w, _, cleaned = _weighted(sf_dir, "CBS")
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    return meta_blocking.rcnp(w.materialize(), cleaned, num_entities=n_docs).select_columns(
+        ["id1", "id2", "weight"]
+    )
+
+
+def q_rwnp_cbs(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "CBS")
+    return meta_blocking.rwnp(w.materialize()).select_columns(["id1", "id2", "weight"])
+
+
+def q_cnj_weights(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "CNJ")
+    return w.select_columns(["id1", "id2", "weight"])
 
 
 def q_progressive_top(sf_dir: str):
@@ -343,6 +366,66 @@ def q_multimodal_features(sf_dir: str):
     return extract_media_features(media, batch_size=16, concurrency=2)
 
 
+def q_psn_pairs(sf_dir: str):
+    d = _docs(sf_dir, ["doc_id", "text"])
+    edges = blocking.explode_keys(d, keyer="standard").materialize()
+    return meta_blocking.sorted_neighborhood_pairs(edges, window=1, max_window=2)
+
+
+def q_workflow_best_dedup(sf_dir: str):
+    from .pipelines.workflow import best_dedup_workflow, run_workflow
+
+    out = run_workflow(_docs(sf_dir, ["doc_id", "text"]), best_dedup_workflow)
+    return out["clusters"]
+
+
+def q_linkage_unique_mapping(sf_dir: str):
+    from .pipelines.workflow import link_datasets
+
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _parity(want: int):
+        # NOT an expr filter: Ray's expression parser rejects arithmetic
+        def _f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"]
+            mask = pc.equal(pc.bit_wise_and(ids, 1), want)
+            return batch.filter(mask)
+
+        return _f
+
+    d1 = docs.map_batches(_parity(0), batch_format="pyarrow")
+    d2 = docs.map_batches(_parity(1), batch_format="pyarrow")
+    out = link_datasets(d1, d2)
+    return out["clusters"]
+
+
+def q_center_clusters(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "JS")
+    return clustering.center_clustering(w.select_columns(["id1", "id2", "weight"]), 0.05)
+
+
+def q_merge_center_clusters(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "JS")
+    return clustering.merge_center_clustering(w.select_columns(["id1", "id2", "weight"]), 0.05)
+
+
+def q_best_match_pairs(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "JS")
+    return clustering.best_match_clustering(w.select_columns(["id1", "id2", "weight"]), 0.05)
+
+
+def q_unique_mapping_pairs(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "JS")
+    return clustering.unique_mapping_clustering(w.select_columns(["id1", "id2", "weight"]), 0.05)
+
+
+def q_random_sample_pairs(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "CBS")
+    return meta_blocking.random_pairs(w.select_columns(["id1", "id2", "weight"]), 0.5, seed=42)
+
+
 def q_ivf_knn(sf_dir: str):
     emb = read_embeddings(sf_dir)
     head = sorted(emb.take(200), key=lambda r: r["vec_id"])[:10]
@@ -369,6 +452,7 @@ def queries():
         "block_purging": q_block_purging,
         "block_filtering": q_block_filtering,
         "shingle_cbs_pairs": q_shingle_cbs_pairs,
+        "arcs_weights": q_arcs_weights,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "js_weights": q_js_weights,
         "ecbs_weights": q_ecbs_weights,
@@ -378,6 +462,9 @@ def queries():
         "cnp_topk": q_cnp_topk,
         "wnp_cbs": q_wnp_cbs,
         "blast_cbs": q_blast_cbs,
+        "rcnp_topk": q_rcnp_topk,
+        "rwnp_cbs": q_rwnp_cbs,
+        "cnj_weights": q_cnj_weights,
         "progressive_top": q_progressive_top,
         "ejoin": q_ejoin,
         "topk_join": q_topk_join,
@@ -391,6 +478,14 @@ def queries():
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "ivf_knn": q_ivf_knn,
+        "psn_pairs": q_psn_pairs,
+        "workflow_best_dedup": q_workflow_best_dedup,
+        "linkage_unique_mapping": q_linkage_unique_mapping,
+        "center_clusters": q_center_clusters,
+        "merge_center_clusters": q_merge_center_clusters,
+        "best_match_pairs": q_best_match_pairs,
+        "unique_mapping_pairs": q_unique_mapping_pairs,
+        "random_sample_pairs": q_random_sample_pairs,
     }
 
 
@@ -498,6 +593,14 @@ def oracle_sql():
             SELECT id1, id2,
                    CAST(cbs AS DOUBLE) / (a.ns + b.ns - cbs) AS weight
             FROM pairs JOIN ns a ON a.doc_id = id1 JOIN ns b ON b.doc_id = id2
+        """,
+        "arcs_weights": "WITH " + SQL_SHINGLES + """,
+            bsizes AS (SELECT key, count(*) AS bs FROM sh GROUP BY key)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   round(sum(1.0 / (z.bs * (z.bs - 1) / 2.0)), 9) AS weight
+            FROM sh a JOIN sh b ON a.key = b.key AND a.doc_id < b.doc_id
+            JOIN bsizes z ON z.key = a.key
+            GROUP BY 1, 2
         """,
         "js_weights": "WITH " + SQL_SHINGLE_PAIRS + """
             SELECT id1, id2, CAST(cbs AS DOUBLE) / (a.bpe + b.bpe - cbs) AS weight
@@ -524,6 +627,9 @@ def oracle_sql():
         "cnp_topk": q_cnp_topk,
         "wnp_cbs": q_wnp_cbs,
         "blast_cbs": q_blast_cbs,
+        "rcnp_topk": q_rcnp_topk,
+        "rwnp_cbs": q_rwnp_cbs,
+        "cnj_weights": q_cnj_weights,
         "progressive_top": q_progressive_top,
         "ejoin": q_ejoin,
         "topk_join": q_topk_join,
@@ -537,6 +643,14 @@ def oracle_sql():
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "ivf_knn": q_ivf_knn,
+        "psn_pairs": q_psn_pairs,
+        "workflow_best_dedup": q_workflow_best_dedup,
+        "linkage_unique_mapping": q_linkage_unique_mapping,
+        "center_clusters": q_center_clusters,
+        "merge_center_clusters": q_merge_center_clusters,
+        "best_match_pairs": q_best_match_pairs,
+        "unique_mapping_pairs": q_unique_mapping_pairs,
+        "random_sample_pairs": q_random_sample_pairs,
     }
 
 
@@ -644,6 +758,14 @@ def oracle_sql():
             SELECT id1, id2,
                    CAST(cbs AS DOUBLE) / (a.ns + b.ns - cbs) AS weight
             FROM pairs JOIN ns a ON a.doc_id = id1 JOIN ns b ON b.doc_id = id2
+        """,
+        "arcs_weights": "WITH " + SQL_SHINGLES + """,
+            bsizes AS (SELECT key, count(*) AS bs FROM sh GROUP BY key)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   round(sum(1.0 / (z.bs * (z.bs - 1) / 2.0)), 9) AS weight
+            FROM sh a JOIN sh b ON a.key = b.key AND a.doc_id < b.doc_id
+            JOIN bsizes z ON z.key = a.key
+            GROUP BY 1, 2
         """,
         "js_weights": "WITH " + SQL_SHINGLE_PAIRS + """
             SELECT id1, id2, CAST(cbs AS DOUBLE) / (a.bpe + b.bpe - cbs) AS weight
@@ -694,6 +816,41 @@ def oracle_sql():
             kept AS (SELECT center, nb, weight FROM ranked, k WHERE rn <= k.k)
             SELECT least(center, nb) AS id1, greatest(center, nb) AS id2, max(weight) AS weight
             FROM kept GROUP BY 1, 2
+        """,
+        "rcnp_topk": "WITH " + SQL_SHINGLE_PAIRS + """,
+            wpairs AS (SELECT id1, id2, CAST(cbs AS DOUBLE) AS weight FROM pairs),
+            k AS (SELECT greatest(1, (SELECT count(*) FROM sh2) // (SELECT count(*) FROM documents)) AS k),
+            directed AS (
+              SELECT id1 AS center, id2 AS nb, weight FROM wpairs
+              UNION ALL SELECT id2, id1, weight FROM wpairs
+            ),
+            ranked AS (
+              SELECT center, nb, weight,
+                     row_number() OVER (PARTITION BY center ORDER BY weight DESC, nb) AS rn
+              FROM directed
+            ),
+            kept AS (SELECT center, nb, weight FROM ranked, k WHERE rn <= k.k)
+            SELECT least(center, nb) AS id1, greatest(center, nb) AS id2, max(weight) AS weight
+            FROM kept GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "rwnp_cbs": "WITH " + SQL_SHINGLE_PAIRS + """,
+            wpairs AS (SELECT id1, id2, CAST(cbs AS DOUBLE) AS weight FROM pairs),
+            nodes AS (
+              SELECT id1 AS node, weight FROM wpairs UNION ALL SELECT id2, weight FROM wpairs
+            ),
+            avgs AS (SELECT node, avg(weight) AS a FROM nodes GROUP BY node)
+            SELECT id1, id2, weight FROM wpairs
+            JOIN avgs x ON x.node = id1 JOIN avgs y ON y.node = id2
+            WHERE weight >= x.a AND weight >= y.a
+        """,
+        "cnj_weights": "WITH " + SQL_SHINGLE_PAIRS + """,
+            deg AS (
+              SELECT node, count(*) AS cpe FROM (
+                SELECT id1 AS node FROM pairs UNION ALL SELECT id2 FROM pairs
+              ) GROUP BY node
+            )
+            SELECT id1, id2, CAST(cbs AS DOUBLE) / (x.cpe + y.cpe - cbs) AS weight
+            FROM pairs JOIN deg x ON x.node = id1 JOIN deg y ON y.node = id2
         """,
         "wnp_cbs": "WITH " + SQL_SHINGLE_PAIRS + """,
             wpairs AS (SELECT id1, id2, CAST(cbs AS DOUBLE) AS weight FROM pairs),

@@ -58,6 +58,41 @@ def hash64_array(strings: list[str], seed: int = 0) -> np.ndarray:
     )
 
 
+def shingle_hash_array(
+    tokens: list[str],
+    k: int,
+    seed: int = 0,
+    token_cache: dict[str, int] | None = None,
+) -> np.ndarray:
+    """Sorted distinct 64-bit hashes of the k-token shingles of a token
+    sequence (documents shorter than k hash as one whole-sequence shingle).
+
+    THE shingle hash family of this engine (pinned by DedupConfig.seed): each
+    distinct token is hashed once (blake2b, cached across calls via
+    ``token_cache`` — per-actor state), then window hashes are a chained
+    splitmix64 combine over the k token hashes. Fully vectorized over all
+    windows; equivalent quality to hashing the joined shingle string at a
+    fraction of the cost (token hashing amortizes across the corpus).
+    """
+    n = len(tokens)
+    if n == 0:
+        return np.array([], dtype=U64)
+    if token_cache is None:
+        token_cache = {}
+    th = np.empty(n, dtype=U64)
+    for i, t in enumerate(tokens):
+        h = token_cache.get(t)
+        if h is None:
+            h = hash64(t, seed)
+            token_cache[t] = h
+        th[i] = h
+    kk = min(k, n)
+    acc = np.full(n - kk + 1, U64(0x243F6A8885A308D3) ^ np.uint64(kk), dtype=U64)
+    for j in range(kk):
+        acc = splitmix64(acc ^ th[j : j + n - kk + 1])
+    return np.unique(acc)
+
+
 def perm_seeds(num_perms: int, seed: int) -> np.ndarray:
     """The MinHash "permutations": num_perms fixed xor-seeds derived from the
     config seed by iterating splitmix64 (deterministic, order-stable)."""

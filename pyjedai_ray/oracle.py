@@ -18,11 +18,11 @@ import numpy as np
 from .config import DedupConfig
 from .functions.hashing import (
     band_hashes,
-    hash64_array,
     minhash_signature,
     perm_seeds,
+    shingle_hash_array,
 )
-from .functions.tokenize import word_shingles
+from .functions.tokenize import token_sequence
 from .state.unionfind import UnionFind
 
 
@@ -40,8 +40,11 @@ def oracle_minhash_clusters(
 
     shingle_sets: dict[int, np.ndarray] = {}
     buckets: dict[int, list[int]] = defaultdict(list)
+    token_cache: dict = {}
     for doc_id, text in docs:
-        sh = np.sort(hash64_array(word_shingles(text or "", cfg.shingle_k), cfg.seed))
+        sh = shingle_hash_array(
+            token_sequence(text or ""), cfg.shingle_k, cfg.seed, token_cache
+        )
         shingle_sets[doc_id] = sh
         sig = minhash_signature(sh, seeds)[None, :]
         bands = band_hashes(sig, cfg.bands, cfg.rows, cfg.seed)[0]

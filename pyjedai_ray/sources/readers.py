@@ -31,6 +31,30 @@ def read_webpages(path: str, columns: list[str] | None = None) -> ray.data.Datas
     return ray.data.read_parquet(path, columns=columns)
 
 
+def read_csv_table(path: str, separator: str = ",", **kwargs) -> ray.data.Dataset:
+    """CSV ingestion (reference Data reads csvs via pandas, utils.py:1270-1316;
+    e.g. the pipe-separated Cora fixture)."""
+    from pyarrow import csv as pacsv
+
+    return ray.data.read_csv(
+        path, parse_options=pacsv.ParseOptions(delimiter=separator), **kwargs
+    )
+
+
+def read_json_table(path: str, **kwargs) -> ray.data.Dataset:
+    """JSON-lines ingestion."""
+    return ray.data.read_json(path, **kwargs)
+
+
+def load_pipeline_config(path: str) -> dict:
+    """JSON pipeline-config loader (read_data_from_json analog,
+    utils.py:1270-1316): plain dict driving run_workflow/link_datasets."""
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
 def _fill_str_nulls(batch: pa.Table) -> pa.Table:
     """fillna("") + cast-to-string for string-typed columns (the reference's
     datamodel.py:126-130 semantics), zero-copy for non-null columns."""

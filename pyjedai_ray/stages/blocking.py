@@ -6,10 +6,13 @@ Here the block collection is never a dict: it is the exploded **edge list**
 ``(key, doc_id)`` (one row per blocking key per doc), and block operations are
 ``groupby`` shuffles over it (SURVEY.md §1.3).
 
-Pair generation = ONE groupby(key) collecting each block's distinct doc ids
-(``Unique`` aggregate) followed by a vectorized per-batch pair-emission UDF —
-no join and no per-group UDF calls in the hot path — then a groupby on the
-canonical pair for dedup + CBS counting.
+Pair generation = hash-repartition by key, then per-partition Arrow sort +
+vectorized run detection (every sorted run is one block) + triu pair
+emission; pair dedup/CBS counting repeats the trick keyed on (id1, id2). No
+joins, no groupby machinery, no per-group UDF calls in the hot path — LSH
+band keys are millions of mostly-singleton buckets and per-group overhead is
+the dominant cost there. ``collect_blocks`` (groupby+Unique) remains for
+block-level operators that genuinely need the ids list.
 
 Hot keys are handled explicitly: blocks above ``max_block_size`` emit a sorted
 consecutive-id **chain** (O(n) edges) instead of O(n^2) pairs. True duplicate
@@ -27,9 +30,11 @@ import ray.data
 from ray.data.aggregate import Count, Unique
 
 from ..functions.tokenize import KEYERS
-from .exchange import ensure_context, hash_join, stamp_schema
+from .exchange import effective_partitions, ensure_context, hash_join, stamp_schema
 
-PAIRS_SCHEMA = pa.schema([("id1", pa.int64()), ("id2", pa.int64())])
+PAIRS_SCHEMA = pa.schema(
+    [("id1", pa.int64()), ("id2", pa.int64()), ("arcs", pa.float64())]
+)
 
 
 def explode_keys(
@@ -97,31 +102,103 @@ def blocks_with_sizes(
     return hash_join(edges, keep, on=("key",), num_partitions=num_partitions)
 
 
-def _emit_pairs_batch(
-    batch: pa.Table, max_block_size: int, chain_oversize: bool
+def _emit_pairs_partition(
+    batch: pa.Table,
+    max_block_size: int,
+    chain_oversize: bool,
+    dataset_limit: int | None = None,
 ) -> pa.Table:
-    if batch.num_columns == 0 or batch.num_rows == 0:
+    """One hash partition of the edge list -> intra-block pairs.
+
+    Arrow-native sort by (key, doc_id), then vectorized run detection over
+    the sorted key column: every run is one block. No per-group UDF calls —
+    this is the hot path of candidate generation (millions of mostly-singleton
+    LSH buckets; groupby machinery costs ~10x more here).
+    """
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0 or "key" not in batch.column_names:
         return PAIRS_SCHEMA.empty_table()
+    idx = pc.sort_indices(
+        batch, sort_keys=[("key", "ascending"), ("doc_id", "ascending")]
+    )
+    sorted_tbl = batch.take(idx)
+    keys = sorted_tbl["key"].combine_chunks()
+    ids = sorted_tbl["doc_id"].to_numpy(zero_copy_only=False)
+    if len(ids) == 0:
+        return PAIRS_SCHEMA.empty_table()
+    neq = pc.not_equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+    boundaries = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(ids)]])
     id1_out: list[np.ndarray] = []
     id2_out: list[np.ndarray] = []
-    for ids_val in batch["ids"].to_pylist():
-        ids = np.unique(np.asarray(ids_val, dtype=np.int64))
-        n = ids.size
+    arcs_out: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        block = np.unique(ids[s:e])
+        n = block.size
         if n < 2:
             continue
         if n <= max_block_size:
             iu, ju = np.triu_indices(n, k=1)
-            id1_out.append(ids[iu])
-            id2_out.append(ids[ju])
+            a, b = block[iu], block[ju]
         elif chain_oversize:
-            id1_out.append(ids[:-1])
-            id2_out.append(ids[1:])
+            a, b = block[:-1], block[1:]
+        else:
+            continue
+        if dataset_limit is not None:
+            # Clean-Clean ER: keep only cross-dataset comparisons
+            # (utils.py:110-122 blocks need both sides; datamodel.py:115
+            # id-space split at dataset_limit)
+            cross = (a < dataset_limit) != (b < dataset_limit)
+            a, b = a[cross], b[cross]
+            if a.size == 0:
+                continue
+        id1_out.append(a)
+        id2_out.append(b)
+        # ARCS contribution: 1 / block cardinality per shared block
+        # (comparison_cleaning.py:379-381 CN-CBS accumulation, clean form)
+        card = n * (n - 1) / 2.0
+        arcs_out.append(np.full(a.size, 1.0 / card))
     if not id1_out:
         return PAIRS_SCHEMA.empty_table()
     return pa.table(
         {
             "id1": pa.array(np.concatenate(id1_out), pa.int64()),
             "id2": pa.array(np.concatenate(id2_out), pa.int64()),
+            "arcs": pa.array(np.concatenate(arcs_out), pa.float64()),
+        }
+    )
+
+
+def _count_pairs_partition(batch: pa.Table) -> pa.Table:
+    """One hash partition of raw pairs -> distinct pairs with cbs counts and
+    summed ARCS contributions."""
+    out_schema = pa.schema(
+        [("id1", pa.int64()), ("id2", pa.int64()), ("cbs", pa.int64()), ("arcs", pa.float64())]
+    )
+    if batch.num_rows == 0 or "id1" not in batch.column_names:
+        return out_schema.empty_table()
+    a = batch["id1"].to_numpy(zero_copy_only=False)
+    b = batch["id2"].to_numpy(zero_copy_only=False)
+    w = (
+        batch["arcs"].to_numpy(zero_copy_only=False)
+        if "arcs" in batch.column_names
+        else np.zeros(len(a))
+    )
+    order = np.lexsort((b, a))
+    a, b, w = a[order], b[order], w[order]
+    change = np.flatnonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1])) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(a)]])
+    counts = ends - starts
+    sums = np.add.reduceat(w, starts) if len(a) else np.array([], dtype=np.float64)
+    return pa.table(
+        {
+            "id1": pa.array(a[starts], pa.int64()),
+            "id2": pa.array(b[starts], pa.int64()),
+            "cbs": pa.array(counts, pa.int64()),
+            "arcs": pa.array(sums, pa.float64()),
         }
     )
 
@@ -131,24 +208,39 @@ def candidate_pairs(
     max_block_size: int = 64,
     num_partitions: int = 32,
     chain_oversize: bool = True,
+    dataset_limit: int | None = None,
 ) -> ray.data.Dataset:
     """Edge list -> candidate pairs (id1, id2, cbs) with id1 < id2.
 
     cbs = number of shared keys (the CBS weight, src/pyjedai/
     comparison_cleaning.py:210-214; chain edges from oversized blocks also
-    count toward it). Plan: groupby(key)+Unique collect -> vectorized pair
-    emission -> groupby(pair) count. Two shuffles, zero joins.
+    count toward it). Plan: hash-repartition by key -> per-partition sorted
+    run detection + vectorized pair emission -> hash-repartition by pair ->
+    per-partition count. Two streaming shuffles, zero joins, zero per-group
+    UDF calls.
     """
-    ensure_context()
-    blocks = collect_blocks(edges)
-    pairs = blocks.map_batches(
-        _emit_pairs_batch,
-        fn_kwargs={"max_block_size": max_block_size, "chain_oversize": chain_oversize},
+    ensure_context(edges)
+    num_partitions = effective_partitions(num_partitions)
+    parts = edges.repartition(num_partitions, keys=["key"])
+    pairs = parts.map_batches(
+        _emit_pairs_partition,
+        fn_kwargs={
+            "max_block_size": max_block_size,
+            "chain_oversize": chain_oversize,
+            "dataset_limit": dataset_limit,
+        },
         batch_format="pyarrow",
+        batch_size=None,
     )
-    out = pairs.groupby(["id1", "id2"]).aggregate(Count(alias_name="cbs"))
+    pair_parts = pairs.repartition(num_partitions, keys=["id1", "id2"])
+    out = pair_parts.map_batches(
+        _count_pairs_partition, batch_format="pyarrow", batch_size=None
+    )
     return stamp_schema(
-        out, pa.schema([("id1", pa.int64()), ("id2", pa.int64()), ("cbs", pa.int64())])
+        out,
+        pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("cbs", pa.int64()), ("arcs", pa.float64())]
+        ),
     )
 
 

