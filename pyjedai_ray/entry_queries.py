@@ -294,6 +294,31 @@ def q_topk_join(sf_dir: str):
     return out.select_columns(["id1", "id2", "weight"])
 
 
+def q_tfidf_weights(sf_dir: str):
+    d = _docs(sf_dir, ["doc_id", "text"])
+    edges = blocking.explode_keys(d, keyer="standard").materialize()
+    cands = blocking.candidate_pairs(
+        edges, max_block_size=1 << 30, chain_oversize=False
+    ).select_columns(["id1", "id2"])
+    out = matching.verify_pairs_tfidf(cands, d)
+    return _round_col(out, "weight", 6)
+
+
+def q_llm_stub_scores(sf_dir: str):
+    d = _docs(sf_dir, ["doc_id", "text"])
+    cands = _shingle_candidates(sf_dir).select_columns(["id1", "id2"])
+    return matching.llm_verify_stub(cands, d)
+
+
+def q_vector_verify(sf_dir: str):
+    emb = read_embeddings(sf_dir)
+    pairs = ann.embedding_neardup(emb, threshold=0.3, bucket_col="label").select_columns(
+        ["id1", "id2"]
+    )
+    out = matching.verify_pairs_vectors(pairs, emb, threshold=0.0)
+    return _round_col(out, "weight", 6)
+
+
 def q_cc_lang_chain(sf_dir: str):
     """Distributed union-find (label propagation) over per-language chain
     edges — SQL oracle: min(doc_id) over (partition by lang)."""
@@ -469,6 +494,9 @@ def queries():
         "ejoin": q_ejoin,
         "topk_join": q_topk_join,
         "cc_lang_chain": q_cc_lang_chain,
+        "tfidf_weights": q_tfidf_weights,
+        "vector_verify": q_vector_verify,
+        "llm_stub_scores": q_llm_stub_scores,
         "knn_embeddings": q_knn_embeddings,
         "embedding_neardup": q_embedding_neardup,
         # rows-only (hash-based / stateful / synthetic input):
@@ -634,6 +662,9 @@ def oracle_sql():
         "ejoin": q_ejoin,
         "topk_join": q_topk_join,
         "cc_lang_chain": q_cc_lang_chain,
+        "tfidf_weights": q_tfidf_weights,
+        "vector_verify": q_vector_verify,
+        "llm_stub_scores": q_llm_stub_scores,
         "knn_embeddings": q_knn_embeddings,
         "embedding_neardup": q_embedding_neardup,
         # rows-only (hash-based / stateful / synthetic input):
@@ -908,6 +939,32 @@ def oracle_sql():
               FROM directed
             )
             SELECT id1, id2, weight FROM ranked WHERE rn <= 5
+        """,
+        "tfidf_weights": toks + """,
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+            idf AS (
+              SELECT token, ln((1 + (SELECT nd FROM n)) / (1 + count(*))) + 1.0 AS i
+              FROM toks GROUP BY token
+            ),
+            nrm AS (
+              SELECT t.doc_id, sum(idf.i * idf.i) AS nrm
+              FROM toks t JOIN idf USING (token) GROUP BY t.doc_id
+            ),
+            commons AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, sum(idf.i * idf.i) AS num
+              FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+              JOIN idf ON idf.token = a.token
+              GROUP BY 1, 2
+            )
+            SELECT id1, id2, round(num / (sqrt(x.nrm) * sqrt(y.nrm)), 6) AS weight
+            FROM commons JOIN nrm x ON x.doc_id = id1 JOIN nrm y ON y.doc_id = id2
+        """,
+        "vector_verify": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS weight
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
         "cc_lang_chain": """
             SELECT doc_id, min(doc_id) OVER (PARTITION BY lang) AS cluster_id FROM documents

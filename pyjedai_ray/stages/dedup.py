@@ -39,23 +39,39 @@ def exact_dedup(
     num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """(doc_id, cluster_id) where cluster_id = min doc_id among byte-equal
-    normalized texts. One groupby on the md5 fingerprint + a join back —
-    never a text-keyed shuffle (fingerprints are 32 bytes, texts are KBs)."""
-    import pyarrow as _pa
-    from ray.data.aggregate import Min
+    normalized texts. ONE hash shuffle keyed by the md5 fingerprint (never the
+    text itself — fingerprints are 32 bytes, texts are KBs), then a
+    per-partition sorted-run min assignment. No groupby machinery, no join."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .exchange import effective_partitions
 
     fp = add_fingerprint(docs.select_columns([id_col, text_col]), text_col).select_columns(
         [id_col, "fingerprint"]
-    ).materialize()
-    reps = stamp_schema(
-        fp.groupby("fingerprint").aggregate(Min(id_col, alias_name="cluster_id")),
-        _pa.schema([("fingerprint", _pa.string()), ("cluster_id", _pa.int64())]),
     )
-    return (
-        hash_join(fp, reps, on=("fingerprint",), num_partitions=num_partitions)
-        .select_columns([id_col, "cluster_id"])
-        .rename_columns({id_col: "doc_id"})
-    )
+    parts = fp.repartition(effective_partitions(num_partitions), keys=["fingerprint"])
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+        if batch.num_rows == 0 or "fingerprint" not in batch.column_names:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            batch, sort_keys=[("fingerprint", "ascending"), (id_col, "ascending")]
+        )
+        t = batch.take(idx)
+        fps = t["fingerprint"].combine_chunks()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        neq = pc.not_equal(fps.slice(1), fps.slice(0, len(fps) - 1))
+        boundaries = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+        starts = np.concatenate([[0], boundaries])
+        lens = np.diff(np.concatenate([starts, [len(ids)]]))
+        reps = np.repeat(ids[starts], lens)  # first id of each run == min
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "cluster_id": pa.array(reps, pa.int64())}
+        )
+
+    return parts.map_batches(_assign, batch_format="pyarrow", batch_size=None)
 
 
 def minhash_dedup(

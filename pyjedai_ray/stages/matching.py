@@ -228,3 +228,186 @@ def verify_pairs_text(
     return joined.map_batches(_verify, batch_format="pyarrow").filter(
         expr=f"weight >= {threshold!r}"
     )
+
+
+def verify_pairs_vectors(
+    pairs: ray.data.Dataset,
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Cosine similarity over precomputed embedding vectors per candidate pair
+    (VectorBasedMatching, src/pyjedai/matching.py:549-630). Embeddings are
+    binary-encoded float32 for the join payload (Acero rejects list columns)."""
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float32)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        bufs = [flat[offs[i] : offs[i + 1]].tobytes() for i in range(len(lens))]
+        return pa.table(
+            {"doc_id": pa.array(batch[id_col].to_numpy(zero_copy_only=False), pa.int64()),
+             "vecbin": pa.array(bufs, pa.binary())}
+        )
+
+    enc = embeddings.map_batches(_enc, batch_format="pyarrow")
+    left = enc.rename_columns({"doc_id": "id1", "vecbin": "v1"})
+    right = enc.rename_columns({"doc_id": "id2", "vecbin": "v2"})
+    joined = hash_join(pairs.select_columns(["id1", "id2"]), left, on=("id1",), num_partitions=num_partitions)
+    joined = hash_join(joined, right, on=("id2",), num_partitions=num_partitions)
+
+    def _cos(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+        )
+        if batch.num_rows == 0 or "v1" not in batch.column_names:
+            return out_schema.empty_table()
+        w = np.empty(batch.num_rows)
+        for i, (b1, b2) in enumerate(zip(batch["v1"].to_pylist(), batch["v2"].to_pylist())):
+            a = np.frombuffer(b1, dtype=np.float32).astype(np.float64)
+            b = np.frombuffer(b2, dtype=np.float32).astype(np.float64)
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            w[i] = float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+        return pa.table(
+            {"id1": batch["id1"], "id2": batch["id2"], "weight": pa.array(w, pa.float64())}
+        )
+
+    return joined.map_batches(_cos, batch_format="pyarrow").filter(
+        expr=f"weight >= {threshold!r}"
+    )
+
+
+def verify_pairs_tfidf(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """TF-IDF cosine per candidate pair with a BROADCAST idf table — the
+    scale-sane replacement for the reference's full pairwise distance matrix
+    (FrequencyEvaluator, src/pyjedai/utils.py:1091-1268, caches an O(n^2)
+    matrix to disk; SURVEY.md flags it as the anti-pattern).
+
+    Boolean tf (set semantics), idf = ln((1+N)/(1+df)) + 1 (sklearn smooth).
+    """
+    import math
+
+    from ray.data.aggregate import Count as _Count
+    from .blocking import explode_keys
+    from .exchange import stamp_schema as _stamp
+
+    d = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "doc_id", text_col: "text"}
+    ).materialize()
+    n_docs = d.count()
+    edges = explode_keys(d, keyer="standard")
+    df = _stamp(
+        edges.groupby("key").aggregate(_Count(alias_name="df")),
+        pa.schema([("key", pa.string()), ("df", pa.int64())]),
+    )
+    idf = {
+        r["key"]: math.log((1 + n_docs) / (1 + r["df"])) + 1.0
+        for b in df.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+        for r in b.to_pylist()
+    }
+    import ray as _ray
+
+    idf_ref = _ray.put(idf)
+
+    left = d.rename_columns({"doc_id": "id1", "text": "text_1"})
+    right = d.rename_columns({"doc_id": "id2", "text": "text_2"})
+    joined = hash_join(pairs.select_columns(["id1", "id2"]), left, on=("id1",), num_partitions=num_partitions)
+    joined = hash_join(joined, right, on=("id2",), num_partitions=num_partitions)
+
+    def _tfidf(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+        )
+        if batch.num_rows == 0 or "text_1" not in batch.column_names:
+            return out_schema.empty_table()
+        lk = _ray.get(idf_ref)
+        w = np.empty(batch.num_rows)
+        for i, (t1, t2) in enumerate(zip(batch["text_1"].to_pylist(), batch["text_2"].to_pylist())):
+            s1 = set(standard_tokens(t1 or ""))
+            s2 = set(standard_tokens(t2 or ""))
+            if not s1 or not s2:
+                w[i] = 1.0 if not s1 and not s2 else 0.0
+                continue
+            num = sum(lk.get(t, 1.0) ** 2 for t in sorted(s1 & s2))
+            n1 = math.sqrt(sum(lk.get(t, 1.0) ** 2 for t in sorted(s1)))
+            n2 = math.sqrt(sum(lk.get(t, 1.0) ** 2 for t in sorted(s2)))
+            w[i] = num / (n1 * n2)
+        return pa.table(
+            {"id1": batch["id1"], "id2": batch["id2"], "weight": pa.array(w, pa.float64())}
+        )
+
+    out = joined.map_batches(_tfidf, batch_format="pyarrow")
+    if threshold > 0:
+        out = out.filter(expr=f"weight >= {threshold!r}")
+    return out
+
+
+class LLMVerifierStub:
+    """Actor-pool LLM match scorer plumbing (OllamaMatching analog,
+    src/pyjedai/llm_matching.py:110-362). No LLM runtime exists in this
+    environment, so with use_stub=True (default) the score is a deterministic
+    hash-based fake in [0,1); with use_stub=False this is where a real client
+    would be constructed ONCE per actor."""
+
+    def __init__(self, use_stub: bool = True, model: str = "stub-model"):
+        self.model = model
+        if not use_stub:
+            raise NotImplementedError(
+                "no LLM runtime in this environment; plug the client in here"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64
+
+        out_schema = pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+        )
+        if batch.num_rows == 0 or "text_1" not in batch.column_names:
+            return out_schema.empty_table()
+        w = [
+            (hash64(f"{t1}\x00{t2}", 7) % (1 << 53)) / float(1 << 53)
+            for t1, t2 in zip(batch["text_1"].to_pylist(), batch["text_2"].to_pylist())
+        ]
+        return pa.table(
+            {"id1": batch["id1"], "id2": batch["id2"], "weight": pa.array(w, pa.float64())}
+        )
+
+
+def llm_verify_stub(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+    concurrency: int = 2,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """Candidate pairs scored by the (stubbed) LLM actor pool — small batches,
+    model loaded once per actor; the real shape of an LLM matching stage."""
+    d = docs.select_columns([id_col, text_col])
+    left = d.rename_columns({id_col: "id1", text_col: "text_1"})
+    right = d.rename_columns({id_col: "id2", text_col: "text_2"})
+    joined = hash_join(pairs.select_columns(["id1", "id2"]), left, on=("id1",), num_partitions=num_partitions)
+    joined = hash_join(joined, right, on=("id2",), num_partitions=num_partitions)
+    return joined.map_batches(
+        LLMVerifierStub,
+        fn_constructor_kwargs={"use_stub": True},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
