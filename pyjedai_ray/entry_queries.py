@@ -75,16 +75,39 @@ def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
     return read_documents(sf_dir, columns=columns)
 
 
+# Shared intermediates memoized per sf_dir: the driver invokes every query in
+# ONE Ray session, and a dozen meta-blocking queries share the same shingle
+# edge list / candidate set / cleaned blocks. Materialized datasets live in
+# the object store; recomputing them per query multiplied wall time ~10x.
+_MEMO: dict = {}
+
+
+def _memo(sf_dir: str, name: str, build):
+    key = (sf_dir, name)
+    if key not in _MEMO:
+        _MEMO[key] = build().materialize()
+    return _MEMO[key]
+
+
 def _shingle_edges(sf_dir: str) -> ray.data.Dataset:
-    d = _docs(sf_dir, ["doc_id", "text"])
-    return blocking.explode_keys(d, keyer="shingle", k=5)
+    return _memo(
+        sf_dir,
+        "shingle_edges",
+        lambda: blocking.explode_keys(
+            _docs(sf_dir, ["doc_id", "text"]), keyer="shingle", k=5
+        ),
+    )
 
 
 def _shingle_candidates(sf_dir: str) -> ray.data.Dataset:
     """(id1, id2, cbs) over word-5-shingle keys, uncapped (comparison
     propagation + CBS semantics)."""
-    return blocking.candidate_pairs(
-        _shingle_edges(sf_dir).materialize(), max_block_size=1 << 30, chain_oversize=False
+    return _memo(
+        sf_dir,
+        "shingle_candidates",
+        lambda: blocking.candidate_pairs(
+            _shingle_edges(sf_dir), max_block_size=1 << 30, chain_oversize=False
+        ),
     )
 
 
@@ -92,6 +115,12 @@ def _cleaned_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Edges restricted to blocks of size >= 2 (the reference's cleaned block
     collection that entity stats are computed over)."""
     return blocking.blocks_with_sizes(edges, min_size=2).select_columns(["key", "doc_id"])
+
+
+def _cleaned_shingle_edges(sf_dir: str) -> ray.data.Dataset:
+    return _memo(
+        sf_dir, "cleaned_shingle_edges", lambda: _cleaned_edges(_shingle_edges(sf_dir))
+    )
 
 
 def _round_col(ds: ray.data.Dataset, col: str, digits: int) -> ray.data.Dataset:
@@ -209,9 +238,14 @@ def q_shingle_jaccard_pairs(sf_dir: str):
 
 
 def _weighted(sf_dir: str, scheme: str):
-    cands = _shingle_candidates(sf_dir).materialize()
-    cleaned = _cleaned_edges(_shingle_edges(sf_dir)).materialize()
-    return meta_blocking.weighted_pairs(cands, cleaned, scheme=scheme), cands, cleaned
+    cands = _shingle_candidates(sf_dir)
+    cleaned = _cleaned_shingle_edges(sf_dir)
+    w = _memo(
+        sf_dir,
+        f"weighted_{scheme}",
+        lambda: meta_blocking.weighted_pairs(cands, cleaned, scheme=scheme),
+    )
+    return w, cands, cleaned
 
 
 def q_js_weights(sf_dir: str):
@@ -451,6 +485,15 @@ def q_random_sample_pairs(sf_dir: str):
     return meta_blocking.random_pairs(w.select_columns(["id1", "id2", "weight"]), 0.5, seed=42)
 
 
+def q_substring_dedup(sf_dir: str):
+    from .sources.webpages import synthesize_webpages
+    from .stages.dedup import substring_overlap_dedup
+
+    wp = synthesize_webpages(sf_dir).materialize()
+    res = substring_overlap_dedup(wp)
+    return res["clusters"]
+
+
 def q_ivf_knn(sf_dir: str):
     emb = read_embeddings(sf_dir)
     head = sorted(emb.take(200), key=lambda r: r["vec_id"])[:10]
@@ -514,6 +557,7 @@ def queries():
         "best_match_pairs": q_best_match_pairs,
         "unique_mapping_pairs": q_unique_mapping_pairs,
         "random_sample_pairs": q_random_sample_pairs,
+        "substring_dedup": q_substring_dedup,
     }
 
 
@@ -682,6 +726,7 @@ def oracle_sql():
         "best_match_pairs": q_best_match_pairs,
         "unique_mapping_pairs": q_unique_mapping_pairs,
         "random_sample_pairs": q_random_sample_pairs,
+        "substring_dedup": q_substring_dedup,
     }
 
 

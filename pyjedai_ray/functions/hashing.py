@@ -182,3 +182,35 @@ def pair_key(id1: np.ndarray, id2: np.ndarray) -> np.ndarray:
     lo = np.minimum(id1, id2).astype(np.uint64)
     hi = np.maximum(id1, id2).astype(np.uint64)
     return (lo << np.uint64(32)) | hi
+
+
+def char_ngram_hashes(
+    text: str, n: int = 48, sample_mod: int = 16, seed: int = 0
+) -> np.ndarray:
+    """Sorted distinct hashes of CONTENT-SELECTED character n-grams.
+
+    The web-scale stand-in for suffix-array substring matching (north rule's
+    long-text overlap detector): every n-char window is hashed (chained
+    splitmix over the byte array — n vectorized passes, O(L*n/word) work) and
+    a window is KEPT iff hash % sample_mod == 0. Selection depends only on
+    window content, so two documents sharing a common run of
+    >= n + n*sample_mod chars share a selected window with overwhelming
+    probability regardless of its offset in either document (fixed-stride
+    sampling would not survive shifts; this is the standard winnowing/
+    mod-sampling trick from copy-detection literature).
+    """
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    L = data.size
+    if L == 0:
+        return np.array([], dtype=U64)
+    nn = min(n, L)
+    with np.errstate(over="ignore"):
+        acc = np.full(L - nn + 1, U64(seed) ^ U64(nn), dtype=U64)
+        for j in range(nn):
+            acc = splitmix64(acc ^ data[j : j + L - nn + 1].astype(U64))
+    if L <= n:
+        return np.unique(acc)
+    kept = acc[acc % U64(sample_mod) == 0]
+    if kept.size == 0:  # degenerate doc: keep the minimum window hash
+        kept = acc.min(keepdims=True)
+    return np.unique(kept)

@@ -107,6 +107,7 @@ def _emit_pairs_partition(
     max_block_size: int,
     chain_oversize: bool,
     dataset_limit: int | None = None,
+    salt_oversize: bool = False,
 ) -> pa.Table:
     """One hash partition of the edge list -> intra-block pairs.
 
@@ -142,6 +143,22 @@ def _emit_pairs_partition(
         if n <= max_block_size:
             iu, ju = np.triu_indices(n, k=1)
             a, b = block[iu], block[ju]
+        elif salt_oversize:
+            # salt the hot key: deterministic sub-groups of <= max_block_size
+            # get full pairing, plus the consecutive-id chain to preserve
+            # connectivity ACROSS sub-groups (SURVEY §4 skew handling). Total
+            # cost O(n * max_block_size) instead of O(n^2).
+            n_salts = -(-n // max_block_size)
+            salts = (block % np.int64(n_salts)).astype(np.int64)
+            pa_, pb_ = [block[:-1]], [block[1:]]
+            for sv in range(n_salts):
+                sub = block[salts == sv]
+                if sub.size >= 2:
+                    iu, ju = np.triu_indices(sub.size, k=1)
+                    pa_.append(sub[iu])
+                    pb_.append(sub[ju])
+            a = np.concatenate(pa_)
+            b = np.concatenate(pb_)
         elif chain_oversize:
             a, b = block[:-1], block[1:]
         else:
@@ -209,6 +226,7 @@ def candidate_pairs(
     num_partitions: int = 32,
     chain_oversize: bool = True,
     dataset_limit: int | None = None,
+    salt_oversize: bool = False,
 ) -> ray.data.Dataset:
     """Edge list -> candidate pairs (id1, id2, cbs) with id1 < id2.
 
@@ -228,6 +246,7 @@ def candidate_pairs(
             "max_block_size": max_block_size,
             "chain_oversize": chain_oversize,
             "dataset_limit": dataset_limit,
+            "salt_oversize": salt_oversize,
         },
         batch_format="pyarrow",
         batch_size=None,

@@ -167,3 +167,107 @@ def ngram_jaccard_dedup(
     )
     clusters = clustering.connected_components(verified)
     return {"candidates": candidates, "verified": verified, "clusters": clusters}
+
+
+def substring_overlap_dedup(
+    docs: ray.data.Dataset,
+    ngram_chars: int = 48,
+    sample_mod: int = 16,
+    containment_threshold: float = 0.5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    max_block_size: int = 64,
+) -> dict:
+    """Long-text substring-overlap dedup (the suffix-array-substring analog).
+
+    Content-selected char n-gram hashes (functions/hashing.char_ngram_hashes)
+    are the blocking keys AND the verification sets: candidate pairs share a
+    selected window; verification keeps pairs whose selected-window
+    CONTAINMENT |A∩B| / min(|A|,|B|) >= threshold — the right metric for
+    partial copies (a page embedded in a larger page scores ~1.0 where
+    Jaccard would dilute).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import char_ngram_hashes
+    from . import blocking as _blocking, clustering as _clustering
+
+    d = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "doc_id", text_col: "text"}
+    )
+
+    def _sign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        sets = [
+            char_ngram_hashes(t or "", ngram_chars, sample_mod, seed)
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "wins": pa.array([x.tobytes() for x in sets], pa.binary()),
+                "n_wins": pa.array([x.size for x in sets], pa.int32()),
+            }
+        )
+
+    sigs = d.map_batches(_sign, batch_format="pyarrow").materialize()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "wins" not in batch.column_names:
+            return pa.schema([("key", pa.int64()), ("doc_id", pa.int64())]).empty_table()
+        keys, ids = [], []
+        for did, buf in zip(batch["doc_id"].to_pylist(), batch["wins"].to_pylist()):
+            arr = np.frombuffer(buf, dtype=np.uint64).view(np.int64)
+            keys.append(arr)
+            ids.append(np.full(arr.size, did, dtype=np.int64))
+        if not keys:
+            return pa.schema([("key", pa.int64()), ("doc_id", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(keys), pa.int64()),
+                "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+            }
+        )
+
+    edges = sigs.map_batches(_edges, batch_format="pyarrow")
+    cands = _blocking.candidate_pairs(
+        edges, max_block_size=max_block_size, num_partitions=num_partitions
+    )
+
+    # containment verification over the selected-window sets
+    left = sigs.select_columns(["doc_id", "wins"]).rename_columns(
+        {"doc_id": "id1", "wins": "w1"}
+    )
+    right = sigs.select_columns(["doc_id", "wins"]).rename_columns(
+        {"doc_id": "id2", "wins": "w2"}
+    )
+    joined = hash_join(cands.select_columns(["id1", "id2"]), left, on=("id1",), num_partitions=num_partitions)
+    joined = hash_join(joined, right, on=("id2",), num_partitions=num_partitions)
+
+    def _contain(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+        )
+        if batch.num_rows == 0 or "w1" not in batch.column_names:
+            return out_schema.empty_table()
+        w = np.empty(batch.num_rows)
+        for i, (b1, b2) in enumerate(zip(batch["w1"].to_pylist(), batch["w2"].to_pylist())):
+            a = np.frombuffer(b1, dtype=np.uint64)
+            b = np.frombuffer(b2, dtype=np.uint64)
+            if a.size == 0 or b.size == 0:
+                w[i] = 0.0
+                continue
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            w[i] = inter / min(a.size, b.size)
+        return pa.table(
+            {"id1": batch["id1"], "id2": batch["id2"], "weight": pa.array(w, pa.float64())}
+        )
+
+    verified = joined.map_batches(_contain, batch_format="pyarrow").filter(
+        expr=f"weight >= {containment_threshold!r}"
+    )
+    clusters = _clustering.connected_components(verified)
+    return {"sigs": sigs, "candidates": cands, "verified": verified, "clusters": clusters}

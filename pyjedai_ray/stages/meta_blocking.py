@@ -352,12 +352,14 @@ def sorted_neighborhood_pairs(
     into one position list, then compare entities within sliding windows of
     growing size; pair weight = co-occurrence count across window sizes.
 
-    Distributed form: the position list is the edge list sorted by
-    (key, seeded hash of (key, doc_id)) — a deterministic per-block shuffle —
-    and windowed pairing runs vectorized over the globally sorted order with
-    boundary overlap of ``max_window`` rows handled by consecutive blocks
-    (ds.sort gives range-partitioned blocks; we re-emit each block's tail).
-    Returns (id1, id2, weight=co-occurrence count).
+    Distributed form: rows are range-partitioned DETERMINISTICALLY by the
+    first byte of the key (hash partitioning would destroy the alphabetical
+    adjacency PSN depends on; Ray sort block boundaries are not stable run to
+    run), sorted within each partition by (key, seeded per-block shuffle
+    hash), and windowed pairing runs vectorized per partition. Windows never
+    span a first-byte boundary — a deterministic, documented approximation
+    (at most max_window-1 pairs per boundary). Returns
+    (id1, id2, weight=co-occurrence count).
     """
     import pyarrow.compute as _pc
 
@@ -373,15 +375,27 @@ def sorted_neighborhood_pairs(
         mix = np.array(
             [hash64(f"{k}|{i}", seed) for k, i in zip(keys, ids)], dtype=np.uint64
         ).view(np.int64)
+        part = np.array([ord(k[0]) if k else 0 for k in keys], dtype=np.int64)
         return pa.table(
             {"key": batch["key"], "doc_id": batch["doc_id"],
-             "mix": pa.array(mix, pa.int64())}
+             "mix": pa.array(mix, pa.int64()),
+             "part": pa.array(part, pa.int64())}
         )
 
-    ordered = edges.map_batches(_perm, batch_format="pyarrow").sort(["key", "mix"])
+    from .exchange import effective_partitions as _ep
+
+    ordered = (
+        edges.map_batches(_perm, batch_format="pyarrow")
+        .repartition(_ep(64), keys=["part"])
+    )
 
     def _windows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if batch.num_rows == 0 or "key" not in batch.column_names:
+            return pa.schema([("id1", pa.int64()), ("id2", pa.int64())]).empty_table()
+        idx = _pc.sort_indices(
+            batch, sort_keys=[("key", "ascending"), ("mix", "ascending")]
+        )
+        ids = batch.take(idx)["doc_id"].to_numpy(zero_copy_only=False)
         out1, out2 = [], []
         for w in range(1, max_window + 1):
             if len(ids) <= w:
@@ -399,10 +413,6 @@ def sorted_neighborhood_pairs(
              "id2": pa.array(np.concatenate(out2), pa.int64())}
         )
 
-    # NOTE: window pairs are emitted per sorted block; pairs spanning a range
-    # partition boundary (at most max_window-1 per boundary) are dropped —
-    # acceptable approximation at scale, documented per SURVEY §2.5 (PSN is a
-    # progressive recall/efficiency trade, not an exact operator).
     raw = ordered.map_batches(_windows, batch_format="pyarrow", batch_size=None)
     out = raw.groupby(["id1", "id2"]).aggregate(Count(alias_name="weight"))
     return stamp_schema(

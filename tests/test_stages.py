@@ -199,3 +199,37 @@ def test_checkpoint_resume(tmp_path):
     assert calls["n"] == 2
     m = ckpt.read_manifest(str(tmp_path / "stage_a"))
     assert m["row_count"] == 10 and len(m["partitions"]) >= 1
+
+
+def test_substring_overlap_dedup_detects_partial_copy():
+    import ray.data
+
+    from pyjedai_ray.stages.dedup import substring_overlap_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 20
+    copy_with_wrapper = "unrelated header text here. " + base + " unrelated footer."
+    other = "completely different content about databases and query engines " * 20
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [base, copy_with_wrapper, other],
+            }
+        )
+    )
+    res = substring_overlap_dedup(docs, num_partitions=4)
+    cl = {r["doc_id"]: r["cluster_id"] for r in res["clusters"].take_all()}
+    assert cl.get(1) == cl.get(2) and cl.get(1) is not None  # partial copy found
+    assert cl.get(3) is None or cl[3] != cl[1]
+
+
+def test_char_ngram_hashes_shift_invariant():
+    from pyjedai_ray.functions.hashing import char_ngram_hashes
+
+    import numpy as np
+
+    core = "a shared long run of text that is certainly longer than the window size used here " * 10
+    h1 = char_ngram_hashes("PREFIX " * 30 + core, 48, 16, 7)
+    h2 = char_ngram_hashes(core + " SUFFIX" * 30, 48, 16, 7)
+    shared = np.intersect1d(h1, h2).size
+    assert shared >= 5  # content-defined selection survives the shift
