@@ -24,7 +24,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "4"))  # corpus multiplier
 # scaling runs need a corpus big enough that parallel compute dominates the
 # fixed shuffle setup cost; default higher unless explicitly overridden
-SCALING_EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "128"))
+SCALING_EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "512"))
 
 
 def _init_ray(num_cpus: int):
@@ -55,7 +55,7 @@ def run_headline(num_cpus: int) -> dict:
         wp.drop_columns(["doc_id", "gt_cluster"]),  # pure input_hint shape
         DedupConfig(),
         use_html=True,  # e2e includes html->text extraction (byte-identity)
-        verify_mode="broadcast",
+        verify_mode="auto",
         cluster_mode="driver",
         num_partitions=nparts,
         signer_batch_size=512,

@@ -70,7 +70,7 @@ def run_webdedup(
     num_partitions: int = 32,
     signer_batch_size: int = 1024,
     signer_concurrency=None,
-    verify_mode: str = "join",
+    verify_mode: str = "auto",
     cluster_mode: str = "auto",
     use_html: bool = True,
     id_col: str | None = None,
@@ -104,7 +104,7 @@ def run_webdedup(
     if out_dir:
         sigs, chain = ckpt.load_or_compute(out_dir, "sigs", ch, chain, _sigs, resume=resume)
     else:
-        sigs = _sigs().materialize() if verify_mode == "broadcast" else _sigs()
+        sigs = _sigs().materialize() if verify_mode in ("broadcast", "auto") else _sigs()
 
     def _candidates():
         return blocking.candidate_pairs(

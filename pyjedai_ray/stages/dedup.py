@@ -83,7 +83,7 @@ def minhash_dedup(
     signer_batch_size: int = 1024,
     signer_concurrency=None,
     cluster_mode: str = "auto",
-    verify_mode: str = "join",
+    verify_mode: str = "auto",
 ) -> dict:
     """Flagship near-dup pipeline. Returns dict of the stage Datasets:
     sigs, candidates (id1,id2,cbs), verified (id1,id2,weight,hamming),
@@ -95,8 +95,8 @@ def minhash_dedup(
         batch_size=signer_batch_size,
         concurrency=signer_concurrency,
     )
-    if verify_mode == "broadcast":
-        sigs = sigs.materialize()  # consumed twice: band explode + broadcast
+    if verify_mode in ("broadcast", "auto"):
+        sigs = sigs.materialize()  # consumed twice: band explode + verify
     band_edges = minhash.explode_bands(sigs)
     candidates = blocking.candidate_pairs(
         band_edges, max_block_size=cfg.max_block_size, num_partitions=num_partitions

@@ -44,6 +44,11 @@ def join_signatures(
     return hash_join(out, right, on=("id2",), num_partitions=num_partitions)
 
 
+# measured crossover: broadcast wins through ~1M docs (lookup ~1GB/actor);
+# beyond that the per-actor dict merge dominates and the join path is faster
+# AND the only option that fits memory at web scale
+BROADCAST_DOC_LIMIT = 1_000_000
+
 _VERIFIED_SCHEMA = pa.schema(
     [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64()), ("hamming", pa.int32())]
 )
@@ -80,7 +85,12 @@ def verify_pairs(
     mode="broadcast": ``ray.put`` the signature lookup ONCE and read it in
     every verify task — the small-side pattern (SURVEY.md §4) for corpora
     whose signatures fit the object store; zero shuffles.
+    mode="auto": broadcast below BROADCAST_DOC_LIMIT signatures, else join
+    (measured: per-actor dict merge collapses throughput ~2x at 2.5M docs).
     """
+    if mode == "auto":
+        sigs = sigs.materialize()
+        mode = "broadcast" if sigs.count() <= BROADCAST_DOC_LIMIT else "join"
     if mode == "broadcast":
         import ray as _ray
 

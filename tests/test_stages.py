@@ -233,3 +233,17 @@ def test_char_ngram_hashes_shift_invariant():
     h2 = char_ngram_hashes(core + " SUFFIX" * 30, 48, 16, 7)
     shared = np.intersect1d(h1, h2).size
     assert shared >= 5  # content-defined selection survives the shift
+
+
+def test_candidate_pairs_salt_oversize():
+    from pyjedai_ray.stages.blocking import candidate_pairs
+
+    e = _edges([("hot", i) for i in range(12)])
+    got = sorted(
+        (r["id1"], r["id2"])
+        for r in candidate_pairs(e, max_block_size=5, salt_oversize=True).take_all()
+    )
+    chain = {(i, i + 1) for i in range(11)}
+    assert chain <= set(got)            # connectivity preserved
+    assert len(got) > len(chain)        # plus intra-salt-group pairs
+    assert len(got) < 66                # far fewer than full 12*11/2
