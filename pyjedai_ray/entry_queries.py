@@ -485,6 +485,12 @@ def q_random_sample_pairs(sf_dir: str):
     return meta_blocking.random_pairs(w.select_columns(["id1", "id2", "weight"]), 0.5, seed=42)
 
 
+def q_extended_qgram_blocking(sf_dir: str):
+    # rows-only: the >= ceil(0.95*L) q-gram combination expansion
+    # (block_building.py:714-773) is combinatorial — not worth oracle SQL
+    return _blocking_query(sf_dir, "extended_qgrams", q=6)
+
+
 def q_substring_dedup(sf_dir: str):
     from .sources.webpages import synthesize_webpages
     from .stages.dedup import substring_overlap_dedup
@@ -558,6 +564,7 @@ def queries():
         "unique_mapping_pairs": q_unique_mapping_pairs,
         "random_sample_pairs": q_random_sample_pairs,
         "substring_dedup": q_substring_dedup,
+        "extended_qgram_blocking": q_extended_qgram_blocking,
     }
 
 
@@ -727,6 +734,7 @@ def oracle_sql():
         "unique_mapping_pairs": q_unique_mapping_pairs,
         "random_sample_pairs": q_random_sample_pairs,
         "substring_dedup": q_substring_dedup,
+        "extended_qgram_blocking": q_extended_qgram_blocking,
     }
 
 
