@@ -53,36 +53,21 @@ def _token_edges(
 def _pair_commons(
     edges: ray.data.Dataset, max_token_freq: int, num_partitions: int
 ) -> ray.data.Dataset:
-    """(id1, id2, common) — distinct shared-token counts per pair."""
-    ensure_context()
-    blocks = collect_blocks(edges)
-    kept = blocks.filter(expr=f"block_size >= 2 and block_size <= {max_token_freq}")
+    """(id1, id2, common) — distinct shared-token counts per pair.
 
-    def _emit(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "ids" not in batch.column_names:
-            return pa.schema([("id1", pa.int64()), ("id2", pa.int64())]).empty_table()
-        id1o, id2o = [], []
-        for ids_val in batch["ids"].to_pylist():
-            ids = np.unique(np.asarray(ids_val, dtype=np.int64))
-            if ids.size < 2:
-                continue
-            iu, ju = np.triu_indices(ids.size, k=1)
-            id1o.append(ids[iu])
-            id2o.append(ids[ju])
-        if not id1o:
-            return pa.schema([("id1", pa.int64()), ("id2", pa.int64())]).empty_table()
-        return pa.table(
-            {
-                "id1": pa.array(np.concatenate(id1o), pa.int64()),
-                "id2": pa.array(np.concatenate(id2o), pa.int64()),
-            }
-        )
+    Reuses the fast candidate machinery (keyed repartition + per-partition
+    run detection): tokens above ``max_token_freq`` are the oversized blocks,
+    and with chaining off they contribute nothing — exactly the
+    ultra-frequent-token drop this join wants."""
+    from .blocking import candidate_pairs
 
-    pairs = kept.map_batches(_emit, batch_format="pyarrow")
-    out = pairs.groupby(["id1", "id2"]).aggregate(Count(alias_name="common"))
-    return stamp_schema(
-        out, pa.schema([("id1", pa.int64()), ("id2", pa.int64()), ("common", pa.int64())])
+    out = candidate_pairs(
+        edges,
+        max_block_size=max_token_freq,
+        num_partitions=num_partitions,
+        chain_oversize=False,
     )
+    return out.select_columns(["id1", "id2", "cbs"]).rename_columns({"cbs": "common"})
 
 
 def _doc_token_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
