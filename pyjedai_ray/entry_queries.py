@@ -692,176 +692,6 @@ def oracle_sql():
             FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2, nb
         """,
         "x2_weights": "WITH " + SQL_SHINGLE_PAIRS + """,
-            nb AS (SELECT CAST(count(*) AS DOUBLE) AS B FROM bsizes WHERE bs >= 2)
-            SELECT id1, id2, round(
-              (cbs - (a.bpe * b.bpe / B)) ^ 2 / (a.bpe * b.bpe / B)
-            + ((a.bpe - cbs) - (a.bpe * (B - b.bpe) / B)) ^ 2 / (a.bpe * (B - b.bpe) / B)
-            + ((b.bpe - cbs) - ((B - a.bpe) * b.bpe / B)) ^ 2 / ((B - a.bpe) * b.bpe / B)
-            + ((B - (a.bpe + b.bpe - cbs)) - ((B - a.bpe) * (B - b.bpe) / B)) ^ 2 / ((B - a.bpe) * (B - b.bpe) / B)
-            , 6) AS weight
-            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2, nb
-        """,
-        "wep_cbs": q_wep_cbs,
-        "cep_topk": q_cep_topk,
-        "cnp_topk": q_cnp_topk,
-        "wnp_cbs": q_wnp_cbs,
-        "blast_cbs": q_blast_cbs,
-        "rcnp_topk": q_rcnp_topk,
-        "rwnp_cbs": q_rwnp_cbs,
-        "cnj_weights": q_cnj_weights,
-        "progressive_top": q_progressive_top,
-        "ejoin": q_ejoin,
-        "topk_join": q_topk_join,
-        "cc_lang_chain": q_cc_lang_chain,
-        "tfidf_weights": q_tfidf_weights,
-        "vector_verify": q_vector_verify,
-        "llm_stub_scores": q_llm_stub_scores,
-        "knn_embeddings": q_knn_embeddings,
-        "embedding_neardup": q_embedding_neardup,
-        # rows-only (hash-based / stateful / synthetic input):
-        "minhash_candidates": q_minhash_candidates,
-        "minhash_dedup_clusters": q_minhash_dedup_clusters,
-        "simhash_clusters": q_simhash_clusters,
-        "lang_id": q_lang_id,
-        "multimodal_features": q_multimodal_features,
-        "ivf_knn": q_ivf_knn,
-        "psn_pairs": q_psn_pairs,
-        "workflow_best_dedup": q_workflow_best_dedup,
-        "linkage_unique_mapping": q_linkage_unique_mapping,
-        "center_clusters": q_center_clusters,
-        "merge_center_clusters": q_merge_center_clusters,
-        "best_match_pairs": q_best_match_pairs,
-        "unique_mapping_pairs": q_unique_mapping_pairs,
-        "random_sample_pairs": q_random_sample_pairs,
-        "substring_dedup": q_substring_dedup,
-        "extended_qgram_blocking": q_extended_qgram_blocking,
-    }
-
-
-def oracle_sql():
-    toks = "WITH " + SQL_TOKS
-    return {
-        "lang_filter": "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
-        "token_count": """
-            SELECT doc_id,
-                   len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
-            FROM documents
-        """,
-        "fingerprint": """
-            SELECT doc_id,
-                   md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fingerprint
-            FROM documents
-        """,
-        "exact_dedup": """
-            SELECT doc_id,
-                   min(doc_id) OVER (
-                     PARTITION BY md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' '))
-                   ) AS cluster_id
-            FROM documents
-        """,
-        "quality_stats": f"""
-            WITH {SQL_SEQS}
-            SELECT doc_id,
-              len(toks) AS n_tokens,
-              CASE WHEN len(toks) = 0 THEN 0.0
-                   ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_token_len,
-              CASE WHEN length(d.text) = 0 THEN 0.0
-                   ELSE CAST(length(regexp_replace(d.text, '[a-zA-Z0-9 \t\n]', '', 'g')) AS DOUBLE) / length(d.text) END AS punct_ratio,
-              CASE WHEN len(toks) = 0 THEN 0.0
-                   ELSE CAST(len(list_filter(toks, x -> x IN {SQL_STOPWORDS})) AS DOUBLE) / len(toks) END AS stopword_ratio,
-              (CASE WHEN len(toks) < 20 OR len(toks) > 100000 THEN 0.5 ELSE 1.0 END)
-              * (CASE WHEN len(toks) = 0 OR NOT (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0) THEN 0.5 ELSE 1.0 END)
-              * (CASE WHEN length(d.text) > 0 AND CAST(length(regexp_replace(d.text, '[a-zA-Z0-9 \t\n]', '', 'g')) AS DOUBLE) / length(d.text) > 0.3 THEN 0.5 ELSE 1.0 END)
-              AS quality_score
-            FROM seqs JOIN documents d USING (doc_id)
-        """,
-        "standard_blocking": toks + """
-            SELECT token AS key, count(*) AS block_size FROM toks GROUP BY token HAVING count(*) >= 2
-        """,
-        "qgram_blocking": toks + """,
-            keys AS (
-              SELECT DISTINCT doc_id,
-                CASE WHEN length(token) < 6 THEN token ELSE substr(token, i.i, 6) END AS key
-              FROM toks, UNNEST(generate_series(1, greatest(1, length(token) - 5))) AS i(i)
-            )
-            SELECT key, count(*) AS block_size FROM keys GROUP BY key HAVING count(*) >= 2
-        """,
-        "suffix_blocking": toks + """,
-            keys AS (
-              SELECT DISTINCT doc_id,
-                CASE WHEN length(token) < 6 THEN token ELSE substr(token, i.i) END AS key
-              FROM toks, UNNEST(generate_series(1, greatest(1, length(token) - 5))) AS i(i)
-            )
-            SELECT key, count(*) AS block_size FROM keys GROUP BY key
-            HAVING count(*) >= 2 AND count(*) <= 53
-        """,
-        "block_purging": toks + """,
-            sizes AS (SELECT token AS key, count(*) AS s FROM toks GROUP BY token HAVING count(*) >= 2),
-            levels AS (SELECT s * (s - 1) // 2 AS card, sum(s) AS sz, count(*) AS nb FROM sizes GROUP BY 1),
-            ordered AS (
-              SELECT card,
-                     sum(sz) OVER (ORDER BY card) AS bc,
-                     sum(card * nb) OVER (ORDER BY card) AS cc,
-                     row_number() OVER (ORDER BY card) AS rn,
-                     count(*) OVER () AS L
-              FROM levels
-            ),
-            cond AS (
-              SELECT cur.rn
-              FROM ordered cur JOIN ordered prv ON prv.rn = cur.rn + 1
-              WHERE cur.rn BETWEEN 2 AND cur.L - 1
-                AND CAST(cur.bc AS DOUBLE) * prv.cc < 1.025 * CAST(cur.cc AS DOUBLE) * prv.bc
-            ),
-            thr AS (
-              SELECT COALESCE(
-                (SELECT o.card FROM ordered o WHERE o.rn = (SELECT max(rn) + 1 FROM cond)),
-                (SELECT o.card FROM ordered o WHERE o.rn = 3),
-                0) AS threshold
-            )
-            SELECT key, s AS block_size FROM sizes, thr WHERE s * (s - 1) // 2 <= threshold
-        """,
-        "block_filtering": toks + """,
-            sizes AS (SELECT token AS key, count(*) AS s FROM toks GROUP BY token HAVING count(*) >= 2),
-            annotated AS (
-              SELECT t.doc_id, t.token AS key, z.s * (z.s - 1) // 2 AS card
-              FROM toks t JOIN sizes z ON t.token = z.key
-            ),
-            ranked AS (
-              SELECT doc_id, key,
-                     row_number() OVER (PARTITION BY doc_id ORDER BY card, key) AS rn,
-                     count(*) OVER (PARTITION BY doc_id) AS n
-              FROM annotated
-            ),
-            kept AS (SELECT doc_id, key FROM ranked WHERE rn <= floor(0.8 * n + 0.5))
-            SELECT key, doc_id FROM kept
-            WHERE key IN (SELECT key FROM kept GROUP BY key HAVING count(*) >= 2)
-        """,
-        "shingle_cbs_pairs": "WITH " + SQL_SHINGLE_PAIRS + "SELECT id1, id2, cbs FROM pairs",
-        "shingle_jaccard_pairs": "WITH " + SQL_SHINGLE_PAIRS + """,
-            ns AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id)
-            SELECT id1, id2,
-                   CAST(cbs AS DOUBLE) / (a.ns + b.ns - cbs) AS weight
-            FROM pairs JOIN ns a ON a.doc_id = id1 JOIN ns b ON b.doc_id = id2
-        """,
-        "arcs_weights": "WITH " + SQL_SHINGLES + """,
-            bsizes AS (SELECT key, count(*) AS bs FROM sh GROUP BY key)
-            SELECT a.doc_id AS id1, b.doc_id AS id2,
-                   round(sum(1.0 / (z.bs * (z.bs - 1) / 2.0)), 9) AS weight
-            FROM sh a JOIN sh b ON a.key = b.key AND a.doc_id < b.doc_id
-            JOIN bsizes z ON z.key = a.key
-            GROUP BY 1, 2
-        """,
-        "js_weights": "WITH " + SQL_SHINGLE_PAIRS + """
-            SELECT id1, id2, CAST(cbs AS DOUBLE) / (a.bpe + b.bpe - cbs) AS weight
-            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2
-        """,
-        "ecbs_weights": "WITH " + SQL_SHINGLE_PAIRS + """,
-            nb AS (SELECT count(*) AS B FROM bsizes WHERE bs >= 2)
-            SELECT id1, id2,
-                   round(CAST(cbs AS DOUBLE) * log10(CAST(B AS DOUBLE) / a.bpe) * log10(CAST(B AS DOUBLE) / b.bpe), 6) AS weight
-            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2, nb
-        """,
-        "x2_weights": "WITH " + SQL_SHINGLE_PAIRS + """,
             nb AS (SELECT count(*) AS B FROM bsizes WHERE bs >= 2)
             SELECT id1, id2, round(
               (CAST(cbs AS DOUBLE)              - (cbs + (a.bpe - cbs)) * (cbs + (b.bpe - cbs)) / t) ^ 2 / ((cbs + (a.bpe - cbs)) * (cbs + (b.bpe - cbs)) / t)

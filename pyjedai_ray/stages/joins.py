@@ -31,7 +31,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ..functions.tokenize import qgram_keys, standard_tokens
-from .blocking import collect_blocks, explode_keys
+from .blocking import directed_pairs, explode_keys, per_center_topk
 from .exchange import ensure_context, hash_join, stamp_schema
 
 JOIN_METRICS = ("cosine", "dice", "jaccard")
@@ -146,19 +146,10 @@ def topk_join(
 ) -> ray.data.Dataset:
     """Per-probe-entity top-K join (TopKJoin, joins.py:381-435): for every
     entity keep its K most similar neighbors (both directions considered);
-    deterministic tie order (weight desc, neighbor asc)."""
-    import pandas as pd
-
+    deterministic tie order (weight desc, neighbor asc). Final stage is the
+    keyed-repartition per-center top-k (blocking.per_center_topk), not
+    groupby().map_groups."""
     edges = _token_edges(ds, tokenization, qgrams, id_col, text_col).materialize()
     commons = _pair_commons(edges, max_token_freq, num_partitions)
     sims = _with_similarity(commons, _doc_token_counts(edges), metric, num_partitions)
-
-    fwd = sims.select_columns(["id1", "id2", "weight"])
-    rev = fwd.rename_columns({"id1": "id2", "id2": "id1"})
-    directed = fwd.union(rev)
-
-    def _topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["weight", "id2"], ascending=[False, True], kind="mergesort")
-        return df.head(k)
-
-    return directed.groupby("id1").map_groups(_topk, batch_format="pandas")
+    return per_center_topk(directed_pairs(sims), k, num_partitions=num_partitions)

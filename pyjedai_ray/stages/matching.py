@@ -302,66 +302,166 @@ def verify_pairs_tfidf(
     id_col: str = "doc_id",
     num_partitions: int = 32,
 ) -> ray.data.Dataset:
-    """TF-IDF cosine per candidate pair with a BROADCAST idf table — the
-    scale-sane replacement for the reference's full pairwise distance matrix
+    """TF-IDF cosine per candidate pair, fully distributed — the scale-sane
+    replacement for the reference's full pairwise distance matrix
     (FrequencyEvaluator, src/pyjedai/utils.py:1091-1268, caches an O(n^2)
     matrix to disk; SURVEY.md flags it as the anti-pattern).
 
     Boolean tf (set semantics), idf = ln((1+N)/(1+df)) + 1 (sklearn smooth).
-    """
-    import math
 
-    from ray.data.aggregate import Count as _Count
+    No driver-side vocabulary and no text shipping: after the keyed
+    repartition on token, each token's full posting list sits in ONE
+    partition, so df = run length and the idf is computed in-partition with
+    no global table. From the same repartitioned edges:
+      numerator parts: per token block, every co-occurring pair gets an
+        idf^2 contribution (run detection + triu, the candidate_pairs trick),
+        reduced by a (id1, id2) keyed repartition;
+      norms: per edge (doc_id, idf^2), groupby-sum.
+    Pairs the caller asked about that share no token get weight 0 (both
+    endpoints token-free: 1.0) via left-outer joins.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum as _Sum
     from .blocking import explode_keys
-    from .exchange import stamp_schema as _stamp
+    from .exchange import effective_partitions, stamp_schema as _stamp
 
     d = docs.select_columns([id_col, text_col]).rename_columns(
         {id_col: "doc_id", text_col: "text"}
     ).materialize()
     n_docs = d.count()
-    edges = explode_keys(d, keyer="standard")
-    df = _stamp(
-        edges.groupby("key").aggregate(_Count(alias_name="df")),
-        pa.schema([("key", pa.string()), ("df", pa.int64())]),
+    num_partitions = effective_partitions(num_partitions)
+    parts = (
+        explode_keys(d, keyer="standard")
+        .repartition(num_partitions, keys=["key"])
+        .materialize()
     )
-    idf = {
-        r["key"]: math.log((1 + n_docs) / (1 + r["df"])) + 1.0
-        for b in df.iter_batches(batch_format="pyarrow")
-        if b.num_rows
-        for r in b.to_pylist()
-    }
-    import ray as _ray
 
-    idf_ref = _ray.put(idf)
+    def _runs(batch: pa.Table):
+        """sorted (key, doc_id) + run boundaries; idf per run from df=len."""
+        idx = pc.sort_indices(
+            batch, sort_keys=[("key", "ascending"), ("doc_id", "ascending")]
+        )
+        t = batch.take(idx)
+        keys = t["key"].combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        neq = pc.not_equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+        bounds = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(ids)]])
+        idf = np.log((1.0 + n_docs) / (1.0 + (ends - starts))) + 1.0
+        return ids, starts, ends, idf
 
-    left = d.rename_columns({"doc_id": "id1", "text": "text_1"})
-    right = d.rename_columns({"doc_id": "id2", "text": "text_2"})
-    joined = hash_join(pairs.select_columns(["id1", "id2"]), left, on=("id1",), num_partitions=num_partitions)
-    joined = hash_join(joined, right, on=("id2",), num_partitions=num_partitions)
+    def _pair_contribs(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("contrib", pa.float64())]
+        )
+        if batch.num_rows == 0 or "key" not in batch.column_names:
+            return schema.empty_table()
+        ids, starts, ends, idf = _runs(batch)
+        a_out, b_out, c_out = [], [], []
+        for s, e, w2 in zip(starts, ends, idf * idf):
+            block = ids[s:e]  # distinct per doc by explode_keys contract
+            if block.size < 2:
+                continue
+            iu, ju = np.triu_indices(block.size, k=1)
+            a_out.append(block[iu])
+            b_out.append(block[ju])
+            c_out.append(np.full(iu.size, w2))
+        if not a_out:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "id1": pa.array(np.concatenate(a_out), pa.int64()),
+                "id2": pa.array(np.concatenate(b_out), pa.int64()),
+                "contrib": pa.array(np.concatenate(c_out), pa.float64()),
+            }
+        )
 
-    def _tfidf(batch: pa.Table) -> pa.Table:
+    def _norm_contribs(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()), ("idf2", pa.float64())])
+        if batch.num_rows == 0 or "key" not in batch.column_names:
+            return schema.empty_table()
+        ids, starts, ends, idf = _runs(batch)
+        lengths = ends - starts
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "idf2": pa.array(np.repeat(idf * idf, lengths), pa.float64()),
+            }
+        )
+
+    def _sum_pairs(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("num", pa.float64())]
+        )
+        if batch.num_rows == 0 or "id1" not in batch.column_names:
+            return schema.empty_table()
+        a = batch["id1"].to_numpy(zero_copy_only=False)
+        b = batch["id2"].to_numpy(zero_copy_only=False)
+        c = batch["contrib"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, c = a[order], b[order], c[order]
+        change = np.flatnonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1])) + 1
+        starts = np.concatenate([[0], change])
+        return pa.table(
+            {
+                "id1": pa.array(a[starts], pa.int64()),
+                "id2": pa.array(b[starts], pa.int64()),
+                "num": pa.array(np.add.reduceat(c, starts), pa.float64()),
+            }
+        )
+
+    nums = _stamp(
+        parts.map_batches(_pair_contribs, batch_format="pyarrow", batch_size=None)
+        .repartition(num_partitions, keys=["id1", "id2"])
+        .map_batches(_sum_pairs, batch_format="pyarrow", batch_size=None),
+        pa.schema([("id1", pa.int64()), ("id2", pa.int64()), ("num", pa.float64())]),
+    )
+    norms = _stamp(
+        parts.map_batches(_norm_contribs, batch_format="pyarrow", batch_size=None)
+        .groupby("doc_id")
+        .aggregate(_Sum("idf2", alias_name="norm2")),
+        pa.schema([("doc_id", pa.int64()), ("norm2", pa.float64())]),
+    )
+
+    joined = hash_join(
+        pairs.select_columns(["id1", "id2"]), nums, on=("id1", "id2"),
+        num_partitions=num_partitions, join_type="left outer",
+    )
+    joined = hash_join(
+        joined, norms.rename_columns({"doc_id": "id1", "norm2": "n1"}),
+        on=("id1",), num_partitions=num_partitions, join_type="left outer",
+    )
+    joined = hash_join(
+        joined, norms.rename_columns({"doc_id": "id2", "norm2": "n2"}),
+        on=("id2",), num_partitions=num_partitions, join_type="left outer",
+    )
+
+    def _weight(batch: pa.Table) -> pa.Table:
         out_schema = pa.schema(
             [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
         )
-        if batch.num_rows == 0 or "text_1" not in batch.column_names:
+        if batch.num_rows == 0 or "id1" not in batch.column_names:
             return out_schema.empty_table()
-        lk = _ray.get(idf_ref)
-        w = np.empty(batch.num_rows)
-        for i, (t1, t2) in enumerate(zip(batch["text_1"].to_pylist(), batch["text_2"].to_pylist())):
-            s1 = set(standard_tokens(t1 or ""))
-            s2 = set(standard_tokens(t2 or ""))
-            if not s1 or not s2:
-                w[i] = 1.0 if not s1 and not s2 else 0.0
-                continue
-            num = sum(lk.get(t, 1.0) ** 2 for t in sorted(s1 & s2))
-            n1 = math.sqrt(sum(lk.get(t, 1.0) ** 2 for t in sorted(s1)))
-            n2 = math.sqrt(sum(lk.get(t, 1.0) ** 2 for t in sorted(s2)))
-            w[i] = num / (n1 * n2)
+        n = batch.num_rows
+
+        def _col(name):
+            if name not in batch.column_names:
+                return np.zeros(n)
+            return np.nan_to_num(
+                batch[name].to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+            )
+
+        num, n1, n2 = _col("num"), _col("n1"), _col("n2")
+        both_empty = (n1 == 0) & (n2 == 0)
+        denom = np.sqrt(n1) * np.sqrt(n2)
+        w = np.where(both_empty, 1.0, np.divide(num, denom, out=np.zeros(n), where=denom > 0))
         return pa.table(
             {"id1": batch["id1"], "id2": batch["id2"], "weight": pa.array(w, pa.float64())}
         )
 
-    out = joined.map_batches(_tfidf, batch_format="pyarrow")
+    out = joined.map_batches(_weight, batch_format="pyarrow")
     if threshold > 0:
         out = out.filter(expr=f"weight >= {threshold!r}")
     return out

@@ -42,11 +42,11 @@ explicit total order (SURVEY.md §7).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Max, Mean
 
+from .blocking import directed_pairs, per_center_topk, reduce_canonical_pairs
 from .exchange import ensure_context, hash_join, stamp_schema
 
 WEIGHT_SCHEMES = ("CBS", "ARCS", "COSINE", "DICE", "JS", "ECBS", "EJS", "X2", "CNC", "CND", "CNJ")
@@ -186,37 +186,19 @@ def cep(weighted: ray.data.Dataset, edges: ray.data.Dataset) -> ray.data.Dataset
     return weighted.sort(["weight", "id1", "id2"], descending=[True, False, False]).limit(k)
 
 
-def _per_node_topk(weighted: ray.data.Dataset, k: int) -> ray.data.Dataset:
-    """Union of each node's top-k incident edges (node-centric: both
-    directions), deduped; deterministic tie order."""
-    fwd = weighted.select_columns(["id1", "id2", "weight"])
-    rev = weighted.select_columns(["id1", "id2", "weight"]).rename_columns(
-        {"id1": "id2", "id2": "id1"}
-    )
-    directed = fwd.union(rev)  # (id1=center, id2=neighbor)
+def _per_node_topk(
+    weighted: ray.data.Dataset, k: int, require_both: bool = False
+) -> ray.data.Dataset:
+    """Each node's top-k incident edges (node-centric: both directions),
+    reduced to canonical pairs; deterministic tie order (weight desc, id2
+    asc). require_both=True = reciprocal (edge in BOTH endpoints' top-k).
 
-    def _topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["weight", "id2"], ascending=[False, True], kind="mergesort")
-        return df.head(k)
-
-    kept = directed.groupby("id1").map_groups(_topk, batch_format="pandas")
-
-    def _canon(batch: pa.Table) -> pa.Table:
-        a = batch["id1"].to_numpy(zero_copy_only=False)
-        b = batch["id2"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "id1": pa.array(np.minimum(a, b), pa.int64()),
-                "id2": pa.array(np.maximum(a, b), pa.int64()),
-                "weight": batch["weight"],
-            }
-        )
-
-    return (
-        kept.map_batches(_canon, batch_format="pyarrow")
-        .groupby(["id1", "id2"])
-        .aggregate(Max("weight", alias_name="weight"))
-    )
+    Plan: emit both directions in one Arrow map, keyed repartition on the
+    center, partition-local vectorized top-k, then canonical-pair reduce —
+    no groupby machinery (see blocking.per_center_topk)."""
+    directed = directed_pairs(weighted.select_columns(["id1", "id2", "weight"]))
+    kept = per_center_topk(directed, k)
+    return reduce_canonical_pairs(kept, require_both=require_both)
 
 
 def cnp(
@@ -240,42 +222,15 @@ def rcnp(
     num_entities: int | None = None,
     k: int | None = None,
 ) -> ray.data.Dataset:
-    """Reciprocal CNP: edge must be in BOTH endpoints' top-k. Implemented as
-    the per-direction top-k lists semi-joined on the canonical pair (count==2)."""
+    """Reciprocal CNP: edge must be in BOTH endpoints' top-k
+    (comparison_cleaning.py:548-568) — the canonical-pair reduce keeps pairs
+    selected from both directions (count == 2)."""
     if k is None:
         total_assignments = edges.count()
         if num_entities is None:
             num_entities = edges.groupby("doc_id").aggregate(Count()).count()
         k = max(1, int(total_assignments / num_entities))
-
-    fwd = weighted.select_columns(["id1", "id2", "weight"])
-    rev = fwd.rename_columns({"id1": "id2", "id2": "id1"})
-    directed = fwd.union(rev)
-
-    def _topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["weight", "id2"], ascending=[False, True], kind="mergesort")
-        return df.head(k)
-
-    kept = directed.groupby("id1").map_groups(_topk, batch_format="pandas")
-
-    def _canon(batch: pa.Table) -> pa.Table:
-        a = batch["id1"].to_numpy(zero_copy_only=False)
-        b = batch["id2"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "id1": pa.array(np.minimum(a, b), pa.int64()),
-                "id2": pa.array(np.maximum(a, b), pa.int64()),
-                "weight": batch["weight"],
-            }
-        )
-
-    return (
-        kept.map_batches(_canon, batch_format="pyarrow")
-        .groupby(["id1", "id2"])
-        .aggregate(Count(alias_name="nsel"), Max("weight", alias_name="weight"))
-        .filter(expr="nsel >= 2")
-        .select_columns(["id1", "id2", "weight"])
-    )
+    return _per_node_topk(weighted, k, require_both=True)
 
 
 def _node_stat(weighted: ray.data.Dataset, agg: str) -> ray.data.Dataset:
