@@ -184,6 +184,12 @@ def q_suffix_blocking(sf_dir: str):
     return _blocking_query(sf_dir, "suffix", max_size=53, suffix_length=6)
 
 
+def q_extended_suffix_blocking(sf_dir: str):
+    # ExtendedSuffixArraysBlocking: token + all substrings of length in
+    # [suffix_length, len-1]; drops blocks larger than 39 (block_building.py:635-680)
+    return _blocking_query(sf_dir, "extended_suffix", max_size=39, suffix_length=6)
+
+
 def q_block_purging(sf_dir: str):
     d = _docs(sf_dir, ["doc_id", "text"])
     edges = blocking.explode_keys(d, keyer="standard").materialize()
@@ -263,6 +269,31 @@ def q_x2_weights(sf_dir: str):
     return _round_col(w.select_columns(["id1", "id2", "weight"]), "weight", 6)
 
 
+def q_cosine_weights(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "COSINE")
+    return w.select_columns(["id1", "id2", "weight"])
+
+
+def q_dice_weights(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "DICE")
+    return w.select_columns(["id1", "id2", "weight"])
+
+
+def q_cnc_weights(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "CNC")
+    return w.select_columns(["id1", "id2", "weight"])
+
+
+def q_cnd_weights(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "CND")
+    return w.select_columns(["id1", "id2", "weight"])
+
+
+def q_ejs_weights(sf_dir: str):
+    w, _, _ = _weighted(sf_dir, "EJS")
+    return _round_col(w.select_columns(["id1", "id2", "weight"]), "weight", 6)
+
+
 def q_wep_cbs(sf_dir: str):
     w, _, _ = _weighted(sf_dir, "CBS")
     return meta_blocking.wep(w.materialize()).select_columns(["id1", "id2", "weight"])
@@ -312,6 +343,14 @@ def q_cnj_weights(sf_dir: str):
 def q_progressive_top(sf_dir: str):
     w, _, _ = _weighted(sf_dir, "JS")
     return meta_blocking.progressive_top(w, budget=100).select_columns(["id1", "id2", "weight"])
+
+
+def q_progressive_local_top(sf_dir: str):
+    w, _, cleaned = _weighted(sf_dir, "CBS")
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    return meta_blocking.progressive_local_top(
+        w.materialize(), cleaned, budget=50, num_entities=n_docs
+    ).select_columns(["id1", "id2", "weight"])
 
 
 def q_ejoin(sf_dir: str):
@@ -531,6 +570,12 @@ def queries():
         "js_weights": q_js_weights,
         "ecbs_weights": q_ecbs_weights,
         "x2_weights": q_x2_weights,
+        "cosine_weights": q_cosine_weights,
+        "dice_weights": q_dice_weights,
+        "cnc_weights": q_cnc_weights,
+        "cnd_weights": q_cnd_weights,
+        "ejs_weights": q_ejs_weights,
+        "extended_suffix_blocking": q_extended_suffix_blocking,
         "wep_cbs": q_wep_cbs,
         "cep_topk": q_cep_topk,
         "cnp_topk": q_cnp_topk,
@@ -540,6 +585,7 @@ def queries():
         "rwnp_cbs": q_rwnp_cbs,
         "cnj_weights": q_cnj_weights,
         "progressive_top": q_progressive_top,
+        "progressive_local_top": q_progressive_local_top,
         "ejoin": q_ejoin,
         "topk_join": q_topk_join,
         "cc_lang_chain": q_cc_lang_chain,
@@ -766,6 +812,58 @@ def oracle_sql():
             SELECT id1, id2, CAST(cbs AS DOUBLE) / (x.cpe + y.cpe - cbs) AS weight
             FROM pairs JOIN deg x ON x.node = id1 JOIN deg y ON y.node = id2
         """,
+        "cosine_weights": "WITH " + SQL_SHINGLE_PAIRS + """
+            SELECT id1, id2, CAST(cbs AS DOUBLE) / sqrt(CAST(a.bpe AS DOUBLE) * b.bpe) AS weight
+            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2
+        """,
+        "dice_weights": "WITH " + SQL_SHINGLE_PAIRS + """
+            SELECT id1, id2, 2.0 * CAST(cbs AS DOUBLE) / (a.bpe + b.bpe) AS weight
+            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2
+        """,
+        "cnc_weights": "WITH " + SQL_SHINGLE_PAIRS + """,
+            deg AS (
+              SELECT node, count(*) AS cpe FROM (
+                SELECT id1 AS node FROM pairs UNION ALL SELECT id2 FROM pairs
+              ) GROUP BY node
+            )
+            SELECT id1, id2, CAST(cbs AS DOUBLE) / sqrt(CAST(x.cpe AS DOUBLE) * y.cpe) AS weight
+            FROM pairs JOIN deg x ON x.node = id1 JOIN deg y ON y.node = id2
+        """,
+        "cnd_weights": "WITH " + SQL_SHINGLE_PAIRS + """,
+            deg AS (
+              SELECT node, count(*) AS cpe FROM (
+                SELECT id1 AS node FROM pairs UNION ALL SELECT id2 FROM pairs
+              ) GROUP BY node
+            )
+            SELECT id1, id2, 2.0 * CAST(cbs AS DOUBLE) / (x.cpe + y.cpe) AS weight
+            FROM pairs JOIN deg x ON x.node = id1 JOIN deg y ON y.node = id2
+        """,
+        "ejs_weights": "WITH " + SQL_SHINGLE_PAIRS + """,
+            deg AS (
+              SELECT node, count(*) AS cpe FROM (
+                SELECT id1 AS node FROM pairs UNION ALL SELECT id2 FROM pairs
+              ) GROUP BY node
+            ),
+            dc AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM pairs)
+            SELECT id1, id2, round(
+              (CAST(cbs AS DOUBLE) / (a.bpe + b.bpe - cbs))
+              * log10(d / x.cpe) * log10(d / y.cpe), 6) AS weight
+            FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2
+            JOIN deg x ON x.node = id1 JOIN deg y ON y.node = id2, dc
+        """,
+        "extended_suffix_blocking": toks + """,
+            keys AS (
+              SELECT DISTINCT doc_id, token AS key FROM toks
+              UNION
+              SELECT DISTINCT doc_id, substr(token, i.i, s.s) AS key
+              FROM toks,
+                   UNNEST(generate_series(6, length(token) - 1)) AS s(s),
+                   UNNEST(generate_series(1, length(token) - s.s + 1)) AS i(i)
+              WHERE length(token) > 6
+            )
+            SELECT key, count(*) AS block_size FROM keys GROUP BY key
+            HAVING count(*) >= 2 AND count(*) <= 39
+        """,
         "wnp_cbs": "WITH " + SQL_SHINGLE_PAIRS + """,
             wpairs AS (SELECT id1, id2, CAST(cbs AS DOUBLE) AS weight FROM pairs),
             nodes AS (
@@ -790,6 +888,25 @@ def oracle_sql():
             SELECT id1, id2, CAST(cbs AS DOUBLE) / (a.bpe + b.bpe - cbs) AS weight
             FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2
             ORDER BY weight DESC, id1, id2 LIMIT 100
+        """,
+        "progressive_local_top": "WITH " + SQL_SHINGLE_PAIRS + """,
+            wpairs AS (SELECT id1, id2, CAST(cbs AS DOUBLE) AS weight FROM pairs),
+            k AS (SELECT greatest(1, (SELECT count(*) FROM sh2) // (SELECT count(*) FROM documents)) AS k),
+            directed AS (
+              SELECT id1 AS center, id2 AS nb, weight FROM wpairs
+              UNION ALL SELECT id2, id1, weight FROM wpairs
+            ),
+            ranked AS (
+              SELECT center, nb, weight,
+                     row_number() OVER (PARTITION BY center ORDER BY weight DESC, nb) AS rn
+              FROM directed
+            ),
+            kept AS (SELECT center, nb, weight FROM ranked, k WHERE rn <= k.k),
+            cnp AS (
+              SELECT least(center, nb) AS id1, greatest(center, nb) AS id2, max(weight) AS weight
+              FROM kept GROUP BY 1, 2
+            )
+            SELECT id1, id2, weight FROM cnp ORDER BY weight DESC, id1, id2 LIMIT 50
         """,
         "ejoin": toks + """,
             cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
