@@ -548,6 +548,32 @@ def q_ivf_knn(sf_dir: str):
     return ann.ivf_knn(emb, qvecs, qids, qbuckets, k=5)
 
 
+def q_ivf_kmeans_knn(sf_dir: str):
+    # rows-only: learned coarse quantizer (distributed spherical k-means)
+    # instead of a pre-existing label column (vector_based_blocking.py:427-465)
+    from .stages.encoding import assign_buckets, kmeans_fit
+
+    emb = read_embeddings(sf_dir)
+    cents = kmeans_fit(emb, n_clusters=4, id_col="vec_id")
+    bucketed = assign_buckets(emb, cents).materialize()
+    head = sorted(
+        bucketed.filter(expr="vec_id < 10").take_all(), key=lambda r: r["vec_id"]
+    )
+    qids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    qvecs = np.array([r["embedding"] for r in head], dtype=np.float32)
+    qb = np.array([r["bucket"] for r in head], dtype=np.int64)
+    return ann.ivf_knn(bucketed, qvecs, qids, qb, k=5, bucket_col="bucket")
+
+
+def q_embeddings_nn_blocking(sf_dir: str):
+    # rows-only end-to-end vector blocking from raw text: hash-encoder actor
+    # pool -> k-means quantize -> per-bucket distributed self-KNN
+    from .stages.encoding import embeddings_nn_blocking
+
+    d = _docs(sf_dir, ["doc_id", "text"])
+    return embeddings_nn_blocking(d, k=3, dim=32, n_clusters=4)
+
+
 
 # ---------------------------------------------------------------- registry --
 
@@ -601,6 +627,8 @@ def queries():
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         "ivf_knn": q_ivf_knn,
+        "ivf_kmeans_knn": q_ivf_kmeans_knn,
+        "embeddings_nn_blocking": q_embeddings_nn_blocking,
         "psn_pairs": q_psn_pairs,
         "workflow_best_dedup": q_workflow_best_dedup,
         "linkage_unique_mapping": q_linkage_unique_mapping,

@@ -1,0 +1,97 @@
+"""Encoder actor pool + distributed k-means + end-to-end vector blocking."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_encoder_deterministic_unit_norm(ray_session):
+    from pyjedai_ray.stages.encoding import encode_texts
+
+    docs = _docs([(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "")])
+    a = {r["doc_id"]: r["embedding"] for r in encode_texts(docs, dim=16).take_all()}
+    b = {r["doc_id"]: r["embedding"] for r in encode_texts(docs, dim=16).take_all()}
+    assert set(a) == {1, 2, 3}
+    for k in a:
+        assert np.allclose(a[k], b[k])
+    for k in (1, 2):
+        assert abs(np.linalg.norm(a[k]) - 1.0) < 1e-5
+    assert np.allclose(a[3], 0.0)  # empty text -> zero vector
+
+
+def test_kmeans_separates_clusters(ray_session):
+    import ray.data
+
+    from pyjedai_ray.stages.encoding import assign_buckets, kmeans_fit
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    c0 = np.zeros(dim); c0[0] = 1.0
+    c1 = np.zeros(dim); c1[4] = 1.0
+    vecs, labels = [], []
+    for i in range(60):
+        base = c0 if i % 2 == 0 else c1
+        vecs.append((base + rng.normal(0, 0.05, dim)).astype(np.float32))
+        labels.append(i % 2)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(60), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    cents = kmeans_fit(ds, n_clusters=2, id_col="vec_id", sample_size=60)
+    assert cents.shape == (2, dim)
+    out = assign_buckets(ds, cents).take_all()
+    by_label = {0: set(), 1: set()}
+    for r, lab in zip(sorted(out, key=lambda r: r["vec_id"]), labels):
+        by_label[lab].add(r["bucket"])
+    # each true cluster maps to exactly one learned cell, and they differ
+    assert len(by_label[0]) == 1 and len(by_label[1]) == 1
+    assert by_label[0] != by_label[1]
+
+
+def test_embeddings_nn_blocking_finds_duplicates(ray_session):
+    from pyjedai_ray.stages.encoding import embeddings_nn_blocking
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(
+        [
+            (1, dup),
+            (2, dup),
+            (3, "completely different subject matter about astronomy stars"),
+            (4, "completely different subject matter about astronomy planets"),
+        ]
+    )
+    out = embeddings_nn_blocking(docs, k=2, dim=32, n_clusters=2)
+    rows = out.take_all()
+    top = {
+        r["query_id"]: (r["neighbor_id"], r["score"])
+        for r in rows
+        if r["rank"] == 1
+    }
+    assert top[1][0] == 2 and top[2][0] == 1
+    assert top[1][1] > 0.999
+
+
+def test_embeddings_nn_blocking_probe_subset(ray_session):
+    from pyjedai_ray.stages.encoding import embeddings_nn_blocking
+
+    docs = _docs([(i, f"shared prefix words document number {i}") for i in range(8)])
+    out = embeddings_nn_blocking(docs, query_ids=np.array([0, 1]), k=3, dim=32, n_clusters=2)
+    qids = {r["query_id"] for r in out.take_all()}
+    assert qids <= {0, 1}
