@@ -299,6 +299,7 @@ def sorted_neighborhood_pairs(
     window: int = 2,
     max_window: int | None = None,
     seed: int = 42,
+    chunk_size: int | None = None,
 ) -> ray.data.Dataset:
     """Progressive Sorted Neighborhood (PSN) candidate generation.
 
@@ -307,19 +308,20 @@ def sorted_neighborhood_pairs(
     into one position list, then compare entities within sliding windows of
     growing size; pair weight = co-occurrence count across window sizes.
 
-    Distributed form: rows are range-partitioned DETERMINISTICALLY by the
-    first byte of the key (hash partitioning would destroy the alphabetical
-    adjacency PSN depends on; Ray sort block boundaries are not stable run to
-    run), sorted within each partition by (key, seeded per-block shuffle
-    hash), and windowed pairing runs vectorized per partition. Windows never
-    span a first-byte boundary — a deterministic, documented approximation
-    (at most max_window-1 pairs per boundary). Returns
-    (id1, id2, weight=co-occurrence count).
+    Distributed form, EXACT (no boundary drops): the global sort order
+    (key, seeded per-row hash) is realized as a dense global position —
+    rows hash-partition by first-byte part (all rows of a part co-locate),
+    rank locally, and a tiny per-part count table (<= 257 rows) cumsums to
+    per-part offsets on the driver. Windowed pairing then runs over
+    position CHUNKS with a max_window-row head-overlap copied to the
+    previous chunk, so every (i, i+w) pair is emitted exactly once by the
+    chunk that owns position i. Returns (id1, id2, weight=co-occurrence
+    count).
     """
     import pyarrow.compute as _pc
 
     from ..functions.hashing import hash64
-    from ray.data.aggregate import Sum as _Sum
+    from .exchange import effective_partitions as _ep
 
     if max_window is None:
         max_window = window
@@ -337,38 +339,111 @@ def sorted_neighborhood_pairs(
              "part": pa.array(part, pa.int64())}
         )
 
-    from .exchange import effective_partitions as _ep
+    def _rank(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("part", pa.int64()), ("rank", pa.int64()), ("doc_id", pa.int64())]
+        )
+        if batch.num_rows == 0 or "key" not in batch.column_names:
+            return schema.empty_table()
+        idx = _pc.sort_indices(
+            batch,
+            sort_keys=[("part", "ascending"), ("key", "ascending"), ("mix", "ascending")],
+        )
+        t = batch.take(idx)
+        parts = t["part"].to_numpy(zero_copy_only=False)
+        n = len(parts)
+        starts = np.concatenate([[0], np.flatnonzero(parts[1:] != parts[:-1]) + 1])
+        lengths = np.diff(np.concatenate([starts, [n]]))
+        rank = np.arange(n) - np.repeat(starts, lengths)
+        return pa.table(
+            {"part": t["part"], "rank": pa.array(rank, pa.int64()), "doc_id": t["doc_id"]}
+        )
 
-    ordered = (
+    ranked = (
         edges.map_batches(_perm, batch_format="pyarrow")
         .repartition(_ep(64), keys=["part"])
+        .map_batches(_rank, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+
+    # per-part counts -> global offsets: <= 257 distinct first-byte parts,
+    # a driver-side cumsum over a tiny table, broadcast into the chunker
+    counts = stamp_schema(
+        ranked.groupby("part").aggregate(Count(alias_name="n")),
+        pa.schema([("part", pa.int64()), ("n", pa.int64())]),
+    ).take_all()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["part"]):
+        offsets[row["part"]] = acc
+        acc += row["n"]
+    off_ref = ray.put(offsets)
+    if chunk_size is None:
+        chunk_size = max(4096, 4 * max_window)
+    chunk_size = max(chunk_size, max_window + 1)
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("chunk", pa.int64()), ("pos", pa.int64()), ("doc_id", pa.int64())]
+        )
+        if batch.num_rows == 0 or "part" not in batch.column_names:
+            return schema.empty_table()
+        offs = ray.get(off_ref)
+        parts = batch["part"].to_numpy(zero_copy_only=False)
+        rank = batch["rank"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.array([offs[p] for p in parts], dtype=np.int64) + rank
+        chunk = pos // chunk_size
+        # head-of-chunk rows also serve the PREVIOUS chunk's tail windows
+        overlap = (pos % chunk_size < max_window) & (chunk > 0)
+        return pa.table(
+            {
+                "chunk": pa.array(np.concatenate([chunk, chunk[overlap] - 1]), pa.int64()),
+                "pos": pa.array(np.concatenate([pos, pos[overlap]]), pa.int64()),
+                "doc_id": pa.array(np.concatenate([ids, ids[overlap]]), pa.int64()),
+            }
+        )
+
+    chunked = ranked.map_batches(_chunk, batch_format="pyarrow").repartition(
+        _ep(64), keys=["chunk"]
     )
 
     def _windows(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "key" not in batch.column_names:
-            return pa.schema([("id1", pa.int64()), ("id2", pa.int64())]).empty_table()
+        schema = pa.schema([("id1", pa.int64()), ("id2", pa.int64())])
+        if batch.num_rows == 0 or "chunk" not in batch.column_names:
+            return schema.empty_table()
         idx = _pc.sort_indices(
-            batch, sort_keys=[("key", "ascending"), ("mix", "ascending")]
+            batch, sort_keys=[("chunk", "ascending"), ("pos", "ascending")]
         )
-        ids = batch.take(idx)["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.take(idx)
+        chunks = t["chunk"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(chunks[1:] != chunks[:-1]) + 1, [n]]
+        )
         out1, out2 = [], []
-        for w in range(1, max_window + 1):
-            if len(ids) <= w:
-                break
-            a, b = ids[:-w], ids[w:]
-            keep = a != b
-            out1.append(np.minimum(a, b)[keep])
-            out2.append(np.maximum(a, b)[keep])
+        for s, e in zip(starts[:-1], starts[1:]):
+            c = chunks[s]
+            run_ids, run_pos = ids[s:e], pos[s:e]
+            for w in range(1, max_window + 1):
+                if e - s <= w:
+                    break
+                a, b = run_ids[:-w], run_ids[w:]
+                # only pairs whose EARLIER position this chunk owns (the
+                # overlap copies' own chunk emits the rest)
+                keep = (a != b) & (run_pos[:-w] // chunk_size == c)
+                out1.append(np.minimum(a, b)[keep])
+                out2.append(np.maximum(a, b)[keep])
         if not out1:
-            return pa.schema(
-                [("id1", pa.int64()), ("id2", pa.int64())]
-            ).empty_table()
+            return schema.empty_table()
         return pa.table(
             {"id1": pa.array(np.concatenate(out1), pa.int64()),
              "id2": pa.array(np.concatenate(out2), pa.int64())}
         )
 
-    raw = ordered.map_batches(_windows, batch_format="pyarrow", batch_size=None)
+    raw = chunked.map_batches(_windows, batch_format="pyarrow", batch_size=None)
     out = raw.groupby(["id1", "id2"]).aggregate(Count(alias_name="weight"))
     return stamp_schema(
         out, pa.schema([("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.int64())])
