@@ -67,6 +67,53 @@ from .functions.text import EN_STOPWORDS
 
 SQL_STOPWORDS = "('" + "', '".join(sorted(EN_STOPWORDS)) + "')"
 
+# DatasetScheduler emission orders (utils.py:543-595): per-center average
+# weight + within-neighborhood position; first occurrence of each canonical
+# pair wins. Shared CTE body parameterized by the per-strategy occurrence /
+# emission key.
+_SQL_EMIT_BASE = """,
+    wpairs AS (SELECT id1, id2, CAST(cbs AS DOUBLE) AS weight FROM pairs),
+    directed AS (
+      SELECT id1 AS center, id2 AS nb, weight FROM wpairs
+      UNION ALL SELECT id2, id1, weight FROM wpairs
+    ),
+    stats AS (SELECT center, avg(weight) AS a FROM directed GROUP BY center),
+    posd AS (
+      SELECT center, nb, weight,
+             row_number() OVER (PARTITION BY center ORDER BY weight DESC, nb) - 1 AS pos
+      FROM directed
+    ),
+    keyed AS (
+      SELECT p.center, p.nb, p.weight, s.a, p.pos,
+             CASE WHEN p.pos > 0 THEN 1 ELSE 0 END AS blk
+      FROM posd p JOIN stats s USING (center)
+    ),
+"""
+SQL_EMISSION = _SQL_EMIT_BASE + """
+    firsts AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY least(center, nb), greatest(center, nb)
+        ORDER BY a DESC, center, pos) AS occ
+      FROM keyed
+    )
+"""
+SQL_EMISSION_BFS = _SQL_EMIT_BASE + """
+    firsts AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY least(center, nb), greatest(center, nb)
+        ORDER BY pos, a DESC, center) AS occ
+      FROM keyed
+    )
+"""
+SQL_EMISSION_HB = _SQL_EMIT_BASE + """
+    firsts AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY least(center, nb), greatest(center, nb)
+        ORDER BY blk, a DESC, center, pos) AS occ
+      FROM keyed
+    )
+"""
+
 
 # ---------------------------------------------------------------- helpers --
 
@@ -345,6 +392,28 @@ def q_progressive_top(sf_dir: str):
     return meta_blocking.progressive_top(w, budget=100).select_columns(["id1", "id2", "weight"])
 
 
+def _q_progressive_strategy(sf_dir: str, strategy: str):
+    # CBS weights: integer-valued doubles sum exactly in ANY order, so the
+    # neighborhood averages the emission order keys on are bit-identical
+    # between the distributed reduce and the SQL oracle
+    w, _, _ = _weighted(sf_dir, "CBS")
+    return meta_blocking.progressive_emit(
+        w.materialize(), budget=20, strategy=strategy
+    ).select_columns(["id1", "id2", "weight"])
+
+
+def q_progressive_dfs(sf_dir: str):
+    return _q_progressive_strategy(sf_dir, "DFS")
+
+
+def q_progressive_bfs(sf_dir: str):
+    return _q_progressive_strategy(sf_dir, "BFS")
+
+
+def q_progressive_hb(sf_dir: str):
+    return _q_progressive_strategy(sf_dir, "HB")
+
+
 def q_progressive_local_top(sf_dir: str):
     w, _, cleaned = _weighted(sf_dir, "CBS")
     n_docs = _docs(sf_dir, ["doc_id"]).count()
@@ -612,6 +681,9 @@ def queries():
         "cnj_weights": q_cnj_weights,
         "progressive_top": q_progressive_top,
         "progressive_local_top": q_progressive_local_top,
+        "progressive_dfs": q_progressive_dfs,
+        "progressive_bfs": q_progressive_bfs,
+        "progressive_hb": q_progressive_hb,
         "ejoin": q_ejoin,
         "topk_join": q_topk_join,
         "cc_lang_chain": q_cc_lang_chain,
@@ -916,6 +988,18 @@ def oracle_sql():
             SELECT id1, id2, CAST(cbs AS DOUBLE) / (a.bpe + b.bpe - cbs) AS weight
             FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2
             ORDER BY weight DESC, id1, id2 LIMIT 100
+        """,
+        "progressive_dfs": "WITH " + SQL_SHINGLE_PAIRS + SQL_EMISSION + """
+            SELECT center AS id1, nb AS id2, weight FROM firsts WHERE occ = 1
+            ORDER BY a DESC, center, pos LIMIT 20
+        """,
+        "progressive_bfs": "WITH " + SQL_SHINGLE_PAIRS + SQL_EMISSION_BFS + """
+            SELECT center AS id1, nb AS id2, weight FROM firsts WHERE occ = 1
+            ORDER BY pos, a DESC, center LIMIT 20
+        """,
+        "progressive_hb": "WITH " + SQL_SHINGLE_PAIRS + SQL_EMISSION_HB + """
+            SELECT center AS id1, nb AS id2, weight FROM firsts WHERE occ = 1
+            ORDER BY blk, a DESC, center, pos LIMIT 20
         """,
         "progressive_local_top": "WITH " + SQL_SHINGLE_PAIRS + """,
             wpairs AS (SELECT id1, id2, CAST(cbs AS DOUBLE) AS weight FROM pairs),

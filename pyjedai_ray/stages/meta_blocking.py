@@ -476,3 +476,137 @@ def progressive_top(weighted: ray.data.Dataset, budget: int) -> ray.data.Dataset
     return weighted.sort(
         ["weight", "id1", "id2"], descending=[True, False, False]
     ).limit(budget)
+
+
+def progressive_emit(
+    weighted: ray.data.Dataset,
+    budget: int,
+    strategy: str = "DFS",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """DFS / BFS / HB budgeted emission (DatasetScheduler._emit_pairs,
+    src/pyjedai/utils.py:543-595; EntityScheduler heap pops in (weight desc,
+    neighbor asc) order, utils.py:336-416).
+
+    The serial scheduler walks per-entity neighborhoods sorted by descending
+    average weight: DFS drains each neighborhood fully; BFS round-robins one
+    pop per neighborhood; HB takes one pop per neighborhood first, then
+    DFS over the rest. All three orders are pure functions of
+    (neighborhood avg weight, center id, within-neighborhood position), so
+    each edge gets those columns and the order becomes a global sort:
+
+      DFS: (avg desc, id1, pos)      BFS: (pos, avg desc, id1)
+      HB:  (pos>0, avg desc, id1, pos)
+
+    A pair seen from both directions emits only at its EARLIER key
+    (the scheduler's `_checked_pair` dedup); later occurrences don't consume
+    budget. Ties in avg are broken by center id — the reference's tie order
+    is dict-insertion-dependent; we pin a total order (SURVEY.md §7).
+
+    Plan: keyed repartition on the center -> per-partition annotate
+    (pos/avg from one sorted run scan) -> keyed repartition on the canonical
+    pair -> first-occurrence winner -> global sort + limit(budget).
+    """
+    import pyarrow.compute as _pc
+
+    strategy = strategy.upper()
+    if strategy == "TOP":
+        return progressive_top(weighted, budget)
+    if strategy not in ("DFS", "BFS", "HB"):
+        raise ValueError(f"unknown emission strategy {strategy}")
+
+    from .exchange import effective_partitions as _ep
+
+    ann_schema = pa.schema(
+        [
+            ("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64()),
+            ("pos", pa.int64()), ("avg", pa.float64()), ("blk", pa.int64()),
+            ("lo", pa.int64()), ("hi", pa.int64()),
+        ]
+    )
+
+    directed = directed_pairs(weighted.select_columns(["id1", "id2", "weight"]))
+    parts = directed.repartition(_ep(num_partitions), keys=["id1"])
+
+    def _annotate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "id1" not in batch.column_names:
+            return ann_schema.empty_table()
+        idx = _pc.sort_indices(
+            batch,
+            sort_keys=[("id1", "ascending"), ("weight", "descending"), ("id2", "ascending")],
+        )
+        t = batch.take(idx)
+        ids = t["id1"].to_numpy(zero_copy_only=False)
+        nbs = t["id2"].to_numpy(zero_copy_only=False)
+        w = t["weight"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        starts = np.concatenate([[0], np.flatnonzero(ids[1:] != ids[:-1]) + 1])
+        lengths = np.diff(np.concatenate([starts, [n]]))
+        pos = np.arange(n) - np.repeat(starts, lengths)
+        avg = np.repeat(np.add.reduceat(w, starts) / lengths, lengths)
+        blk = (pos > 0).astype(np.int64) if strategy == "HB" else np.zeros(n, np.int64)
+        return pa.table(
+            {
+                "id1": pa.array(ids, pa.int64()),
+                "id2": pa.array(nbs, pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+                "pos": pa.array(pos, pa.int64()),
+                "avg": pa.array(avg, pa.float64()),
+                "blk": pa.array(blk, pa.int64()),
+                "lo": pa.array(np.minimum(ids, nbs), pa.int64()),
+                "hi": pa.array(np.maximum(ids, nbs), pa.int64()),
+            }
+        )
+
+    annotated = parts.map_batches(_annotate, batch_format="pyarrow", batch_size=None)
+    pair_parts = stamp_schema(annotated, ann_schema).repartition(
+        _ep(num_partitions), keys=["lo", "hi"]
+    )
+
+    def _key_cols(t):
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        avg = t["avg"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        i1 = t["id1"].to_numpy(zero_copy_only=False)
+        blk = t["blk"].to_numpy(zero_copy_only=False)
+        if strategy == "DFS":
+            order = (pos, i1, -avg, hi, lo)
+        elif strategy == "BFS":
+            order = (i1, -avg, pos, hi, lo)
+        else:  # HB
+            order = (pos, i1, -avg, blk, hi, lo)
+        return np.lexsort(order)
+
+    def _first_occurrence(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64()),
+                ("pos", pa.int64()), ("avg", pa.float64()), ("blk", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "lo" not in batch.column_names:
+            return out_schema.empty_table()
+        order = _key_cols(batch)
+        t = batch.take(pa.array(order))
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        first = np.concatenate(
+            [[True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        )
+        return t.filter(pa.array(first)).drop_columns(["lo", "hi"])
+
+    winners = pair_parts.map_batches(
+        _first_occurrence, batch_format="pyarrow", batch_size=None
+    )
+    if strategy == "DFS":
+        cols, desc = ["avg", "id1", "pos"], [True, False, False]
+    elif strategy == "BFS":
+        cols, desc = ["pos", "avg", "id1"], [False, True, False]
+    else:
+        cols, desc = ["blk", "avg", "id1", "pos"], [False, True, False, False]
+    return (
+        winners.sort(cols, descending=desc)
+        .limit(budget)
+        .select_columns(["id1", "id2", "weight"])
+    )
