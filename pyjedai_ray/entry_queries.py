@@ -436,6 +436,25 @@ def q_topk_join(sf_dir: str):
     return out.select_columns(["id1", "id2", "weight"])
 
 
+def q_ejoin_multiset(sf_dir: str):
+    # bag-semantics join: occurrence-numbered tokens (multiset intersection)
+    return joins.ejoin(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.82, metric="cosine",
+        tokenization="standard_multiset",
+    )
+
+
+def q_pe_topk_join(sf_dir: str):
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    n = docs.count()
+    lim = n // 2
+    d1 = docs.filter(expr=f"doc_id < {lim}")
+    d2 = docs.filter(expr=f"doc_id >= {lim}")
+    return joins.pe_topk_join(
+        d1, d2, k=3, metric="cosine", tokenization="standard", dataset_limit=lim
+    ).select_columns(["id1", "id2", "weight"])
+
+
 def q_tfidf_weights(sf_dir: str):
     d = _docs(sf_dir, ["doc_id", "text"])
     edges = blocking.explode_keys(d, keyer="standard").materialize()
@@ -685,7 +704,9 @@ def queries():
         "progressive_bfs": q_progressive_bfs,
         "progressive_hb": q_progressive_hb,
         "ejoin": q_ejoin,
+        "ejoin_multiset": q_ejoin_multiset,
         "topk_join": q_topk_join,
+        "pe_topk_join": q_pe_topk_join,
         "cc_lang_chain": q_cc_lang_chain,
         "tfidf_weights": q_tfidf_weights,
         "vector_verify": q_vector_verify,
@@ -1030,6 +1051,47 @@ def oracle_sql():
             SELECT id1, id2, CAST(c AS DOUBLE) / sqrt(CAST(x.n AS DOUBLE) * y.n) AS weight
             FROM commons JOIN cnt x ON x.doc_id = id1 JOIN cnt y ON y.doc_id = id2
             WHERE CAST(c AS DOUBLE) / sqrt(CAST(x.n AS DOUBLE) * y.n) >= 0.82
+        """,
+        "ejoin_multiset": f"""
+            WITH {SQL_SEQS},
+            rawtoks AS (SELECT doc_id, t.token AS token FROM seqs, UNNEST(toks) AS t(token)),
+            mtoks AS (
+              SELECT doc_id,
+                     token || '#' || CAST(row_number() OVER (PARTITION BY doc_id, token) - 1 AS VARCHAR) AS token
+              FROM rawtoks
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM mtoks GROUP BY doc_id),
+            commons AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+              FROM mtoks a JOIN mtoks b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id1, id2, CAST(c AS DOUBLE) / sqrt(CAST(x.n AS DOUBLE) * y.n) AS weight
+            FROM commons JOIN cnt x ON x.doc_id = id1 JOIN cnt y ON y.doc_id = id2
+            WHERE CAST(c AS DOUBLE) / sqrt(CAST(x.n AS DOUBLE) * y.n) >= 0.82
+        """,
+        "pe_topk_join": toks + """,
+            lim AS (SELECT count(*) // 2 AS L FROM documents),
+            cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            commons AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+              FROM toks a JOIN toks b ON a.token = b.token, lim
+              WHERE a.doc_id < L AND b.doc_id >= L
+              GROUP BY 1, 2
+            ),
+            wpairs AS (
+              SELECT id1, id2, CAST(c AS DOUBLE) / sqrt(CAST(x.n AS DOUBLE) * y.n) AS weight
+              FROM commons JOIN cnt x ON x.doc_id = id1 JOIN cnt y ON y.doc_id = id2
+            ),
+            s1 AS (
+              SELECT *, row_number() OVER (PARTITION BY id2 ORDER BY weight DESC, id1) AS r2
+              FROM wpairs
+            ),
+            s2 AS (
+              SELECT *, row_number() OVER (PARTITION BY id1 ORDER BY weight DESC, id2) AS r1
+              FROM s1 WHERE r2 <= 3
+            )
+            SELECT id1, id2, weight FROM s2 WHERE r1 <= 3
         """,
         "topk_join": toks + """,
             cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),

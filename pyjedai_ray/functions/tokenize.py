@@ -94,6 +94,37 @@ def extended_qgram_keys(
     return sorted(keys)
 
 
+def standard_multiset_tokens(text: str) -> list[str]:
+    """Occurrence-numbered word tokens (bag semantics): the i-th occurrence
+    of ``tok`` becomes ``tok#i``, so shared-key counts equal the multiset
+    intersection. Reference analog: 'standard_multiset' (src/pyjedai/
+    joins.py:190-197) — NOTE the reference iterates over ``set(...)`` there,
+    which degenerates to set semantics with a "0" suffix; we implement the
+    intended bag semantics and document the divergence."""
+    counts: dict[str, int] = {}
+    out: list[str] = []
+    for tok in token_sequence(text):
+        i = counts.get(tok, 0)
+        out.append(f"{tok}#{i}")
+        counts[tok] = i + 1
+    return sorted(out)
+
+
+def qgram_multiset_keys(text: str, q: int = 2) -> list[str]:
+    """Occurrence-numbered per-token q-grams (bag semantics; see
+    standard_multiset_tokens for the reference divergence note,
+    joins.py:198-206)."""
+    counts: dict[str, int] = {}
+    out: list[str] = []
+    for tok in token_sequence(text):
+        grams = [tok] if len(tok) < q else [tok[i : i + q] for i in range(len(tok) - q + 1)]
+        for g in grams:
+            i = counts.get(g, 0)
+            out.append(f"{g}#{i}")
+            counts[g] = i + 1
+    return sorted(out)
+
+
 def word_shingles(text: str, k: int = 5) -> list[str]:
     """Distinct k-word shingles (space-joined) over the ordered token stream.
 
@@ -113,5 +144,7 @@ KEYERS = {
     "suffix": suffix_keys,
     "extended_suffix": extended_suffix_keys,
     "extended_qgrams": extended_qgram_keys,
+    "standard_multiset": standard_multiset_tokens,
+    "qgrams_multiset": qgram_multiset_keys,
     "shingle": word_shingles,
 }

@@ -47,6 +47,10 @@ def _token_edges(
         return explode_keys(d, keyer="standard")
     if tokenization == "qgrams":
         return explode_keys(d, keyer="qgrams", q=qgrams)
+    if tokenization == "standard_multiset":
+        return explode_keys(d, keyer="standard_multiset")
+    if tokenization == "qgrams_multiset":
+        return explode_keys(d, keyer="qgrams_multiset", q=qgrams)
     raise ValueError(f"unknown tokenization {tokenization}")
 
 
@@ -153,3 +157,63 @@ def topk_join(
     commons = _pair_commons(edges, max_token_freq, num_partitions)
     sims = _with_similarity(commons, _doc_token_counts(edges), metric, num_partitions)
     return per_center_topk(directed_pairs(sims), k, num_partitions=num_partitions)
+
+
+def pe_topk_join(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    k: int = 10,
+    metric: str = "cosine",
+    tokenization: str = "standard",
+    qgrams: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_freq: int = 10_000,
+    num_partitions: int = 32,
+    dataset_limit: int | None = None,
+) -> ray.data.Dataset:
+    """Strict progressive top-K cross-join (PETopKJoin, joins.py:437-551):
+    per INDEXED (ds2) entity keep its K best target candidates, then per
+    TARGET (ds1) entity keep the K best of the survivors; emission is the
+    globally sorted (weight desc, id1, id2) pair list. Tie order matches the
+    reference PQ (higher candidate id evicted first => lower ids kept).
+
+    The two id spaces must be disjoint with every ds1 id < every ds2 id
+    (the reference's dataset_limit split, datamodel.py:115); pass
+    dataset_limit to assert the boundary, else it is inferred.
+    """
+    if dataset_limit is None:
+        dataset_limit = int(ds1.max(id_col)) + 1
+
+    both = ds1.union(ds2)
+    edges = _token_edges(both, tokenization, qgrams, id_col, text_col).materialize()
+
+    from .blocking import candidate_pairs
+
+    commons = candidate_pairs(
+        edges,
+        max_block_size=max_token_freq,
+        num_partitions=num_partitions,
+        chain_oversize=False,
+        dataset_limit=dataset_limit,
+    ).select_columns(["id1", "id2", "cbs"]).rename_columns({"cbs": "common"})
+    sims = _with_similarity(commons, _doc_token_counts(edges), metric, num_partitions)
+    # canonical pairs have id1 < dataset_limit <= id2: id1 = target (ds1),
+    # id2 = indexed (ds2). Stage 1: per-indexed top-k (swap so the center is
+    # id2); stage 2: per-target top-k over the survivors.
+
+    def _swap(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "id1" not in batch.column_names:
+            return pa.schema(
+                [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+            ).empty_table()
+        return pa.table(
+            {"id1": batch["id2"], "id2": batch["id1"], "weight": batch["weight"]}
+        )
+
+    by_indexed = per_center_topk(
+        sims.map_batches(_swap, batch_format="pyarrow"), k, num_partitions=num_partitions
+    )
+    survivors = by_indexed.map_batches(_swap, batch_format="pyarrow")
+    final = per_center_topk(survivors, k, num_partitions=num_partitions)
+    return final.sort(["weight", "id1", "id2"], descending=[True, False, False])

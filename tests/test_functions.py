@@ -171,3 +171,22 @@ def test_fingerprint_stability():
 
 def test_count_tokens():
     assert count_tokens("a b  c") == 3
+
+
+def test_multiset_tokenizers():
+    from pyjedai_ray.functions.tokenize import (
+        qgram_multiset_keys,
+        standard_multiset_tokens,
+    )
+
+    # repeated tokens get occurrence-numbered keys (bag semantics)
+    assert standard_multiset_tokens("the cat the cat the") == sorted(
+        ["the#0", "the#1", "the#2", "cat#0", "cat#1"]
+    )
+    assert standard_multiset_tokens("") == []
+    # shared multiset size of "aa aa" vs "aa": min(2,1)=1 shared key
+    a = set(standard_multiset_tokens("aa aa"))
+    b = set(standard_multiset_tokens("aa"))
+    assert len(a & b) == 1
+    g = qgram_multiset_keys("abab", q=2)
+    assert g == sorted(["ab#0", "ba#0", "ab#1"])
