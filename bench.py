@@ -25,6 +25,9 @@ EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "4"))  # corpus multiplier
 # scaling runs need a corpus big enough that parallel compute dominates the
 # fixed shuffle setup cost; default higher unless explicitly overridden
 SCALING_EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "512"))
+# the default (driver) invocation ALSO reports scaling efficiency; its corpus
+# is sized to bound added wall time (~1.3M docs) while staying compute-bound
+INLINE_SCALING_EXPAND = int(os.environ.get("GRAFT_INLINE_SCALING_EXPAND", "256"))
 
 
 def _init_ray(num_cpus: int):
@@ -116,6 +119,40 @@ def run_query_suite(num_cpus: int) -> dict:
     return out
 
 
+def run_scaling(expand: int, lo: int = 8, hi: int = 32) -> dict:
+    """Same headline job in two FRESH processes at two parallelism levels
+    (the sandbox stand-in for an N-node vs 4N-node cluster); efficiency =
+    (docs/sec@hi) / ((hi/lo) x docs/sec@lo)."""
+    results = {}
+    for n in (lo, hi):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(n),
+            GRAFT_BENCH_EXPAND=str(expand),
+        )
+        p = subprocess.run(
+            [sys.executable, __file__, "--headline-only"],
+            capture_output=True, text=True, env=env,
+        )
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            return {"metric": "scaling_efficiency", "value": None,
+                    "error": (p.stderr or "no output")[-500:]}
+        results[n] = json.loads(lines[-1])
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "low_cpus": lo,
+        "high_cpus": hi,
+        "n_docs": results[hi]["n_docs"],
+        "docs_per_sec_low": results[lo]["docs_per_sec"],
+        "docs_per_sec_high": results[hi]["docs_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
 def main() -> None:
     if "--headline-only" in sys.argv:
         r = run_headline(NUM_CPUS)
@@ -123,40 +160,16 @@ def main() -> None:
         return
 
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
-        results = {}
-        for n in (lo, hi):
-            env = dict(
-                os.environ,
-                RAY_GRAFT_CPUS=str(n),
-                GRAFT_BENCH_EXPAND=str(SCALING_EXPAND),
-            )
-            p = subprocess.run(
-                [sys.executable, __file__, "--headline-only"],
-                capture_output=True, text=True, env=env,
-            )
-            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-            results[n] = json.loads(line)
-        eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling_efficiency",
-                    "value": round(eff, 3),
-                    "unit": "ratio",
-                    "low_cpus": lo,
-                    "high_cpus": hi,
-                    "docs_per_sec_low": results[lo]["docs_per_sec"],
-                    "docs_per_sec_high": results[hi]["docs_per_sec"],
-                    "sf": SF_DIR,
-                }
-            )
-        )
+        print(json.dumps(run_scaling(SCALING_EXPAND)))
         return
 
     headline = run_headline(NUM_CPUS)
     queries = run_query_suite(NUM_CPUS)
     queries["webdedup_e2e"] = headline["wall_sec"]
+    import ray
+
+    ray.shutdown()  # scaling subprocesses need the CPUs back
+    scaling = run_scaling(INLINE_SCALING_EXPAND)
     print(
         json.dumps(
             {
@@ -168,12 +181,11 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "n_docs": headline["n_docs"],
                 "n_clustered": headline["n_clustered"],
+                "scaling_efficiency": scaling["value"],
+                "scaling": scaling,
             }
         )
     )
-    import ray
-
-    ray.shutdown()
 
 
 if __name__ == "__main__":

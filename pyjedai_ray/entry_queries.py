@@ -114,6 +114,28 @@ SQL_EMISSION_HB = _SQL_EMIT_BASE + """
     )
 """
 
+# brute-force kNN neighborhoods over the embeddings table (queries = vec_id
+# < 50, k = 5, scores rounded to 6dp BEFORE ranking) — shared by the
+# EmbeddingsNNBPM ordering-layer oracles
+SQL_NN_BPM_KNN = """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50
+    ),
+    s AS (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS score
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM s
+    ),
+    knn AS (
+      SELECT query_id, neighbor_id, score, rnk - 1 AS pos FROM ranked WHERE rnk <= 5
+    )"""
+
 
 # ---------------------------------------------------------------- helpers --
 
@@ -662,6 +684,44 @@ def q_embeddings_nn_blocking(sf_dir: str):
     return embeddings_nn_blocking(d, k=3, dim=32, n_clusters=4)
 
 
+def _nn_bpm_knn(sf_dir: str):
+    """Brute-force kNN neighborhoods over the embeddings table for the
+    EmbeddingsNNBPM ordering-layer queries (double precision + score
+    rounding for oracle bit-parity)."""
+    emb = read_embeddings(sf_dir)
+    head = sorted(emb.filter(expr="vec_id < 50").take_all(), key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    qvecs = np.array([r["embedding"] for r in head], dtype=np.float64)
+    return ann.knn_brute_force(emb, qvecs, qids, k=5, dtype=np.float64, score_round=6)
+
+
+def q_nn_bpm_hb(sf_dir: str):
+    """EmbeddingsNNBPM HB emission (prioritization.py:703-726) over kNN
+    neighborhoods: one pop per neighborhood first, then DFS over the rest."""
+    from .stages.encoding import nn_progressive_emit
+
+    return nn_progressive_emit(
+        _nn_bpm_knn(sf_dir), budget=40, strategy="HB", avg_round=6
+    )
+
+
+def q_nn_bpm_top(sf_dir: str):
+    """EmbeddingsNNBPM TOP emission (prioritization.py:659-673): global
+    descending-score order with canonical-pair dedup."""
+    from .stages.encoding import nn_progressive_emit
+
+    return nn_progressive_emit(_nn_bpm_knn(sf_dir), budget=40, strategy="TOP")
+
+
+def q_embeddings_nn_bpm(sf_dir: str):
+    # rows-only: full EmbeddingsNNBPM from raw text (stub encoder is not
+    # SQL-expressible) — encode -> quantize -> bucket kNN -> HB emission
+    from .stages.encoding import embeddings_nn_bpm
+
+    d = _docs(sf_dir, ["doc_id", "text"])
+    return embeddings_nn_bpm(d, budget=50, strategy="HB", k=3, dim=32, n_clusters=4)
+
+
 
 # ---------------------------------------------------------------- registry --
 
@@ -713,6 +773,8 @@ def queries():
         "llm_stub_scores": q_llm_stub_scores,
         "knn_embeddings": q_knn_embeddings,
         "embedding_neardup": q_embedding_neardup,
+        "nn_bpm_hb": q_nn_bpm_hb,
+        "nn_bpm_top": q_nn_bpm_top,
         # rows-only (hash-based / stateful / synthetic input):
         "minhash_candidates": q_minhash_candidates,
         "minhash_dedup_clusters": q_minhash_dedup_clusters,
@@ -722,6 +784,7 @@ def queries():
         "ivf_knn": q_ivf_knn,
         "ivf_kmeans_knn": q_ivf_kmeans_knn,
         "embeddings_nn_blocking": q_embeddings_nn_blocking,
+        "embeddings_nn_bpm": q_embeddings_nn_bpm,
         "psn_pairs": q_psn_pairs,
         "workflow_best_dedup": q_workflow_best_dedup,
         "linkage_unique_mapping": q_linkage_unique_mapping,
@@ -1167,5 +1230,35 @@ def oracle_sql():
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "nn_bpm_hb": SQL_NN_BPM_KNN + """,
+            ann AS (
+              SELECT query_id AS id1, neighbor_id AS id2, score AS weight, pos,
+                     round(avg(score) OVER (PARTITION BY query_id), 6) AS avg
+              FROM knn
+            ),
+            keyed AS (
+              SELECT *, least(id1, id2) AS lo, greatest(id1, id2) AS hi,
+                     CASE WHEN pos > 0 THEN 1 ELSE 0 END AS blk
+              FROM ann
+            ),
+            fo AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY lo, hi ORDER BY blk, avg DESC, id1, pos
+              ) AS rn
+              FROM keyed
+            )
+            SELECT id1, id2, weight FROM fo WHERE rn = 1
+            ORDER BY blk, avg DESC, id1, pos LIMIT 40
+        """,
+        "nn_bpm_top": SQL_NN_BPM_KNN + """,
+            canon AS (
+              SELECT least(query_id, neighbor_id) AS id1,
+                     greatest(query_id, neighbor_id) AS id2,
+                     max(score) AS weight
+              FROM knn GROUP BY 1, 2
+            )
+            SELECT id1, id2, weight FROM canon
+            ORDER BY weight DESC, id1, id2 LIMIT 40
         """,
     }

@@ -82,10 +82,15 @@ def block_purging(
 ) -> tuple[ray.data.Dataset, int]:
     """Edge list -> (purged edge list, threshold). Blocks with cardinality
     above the auto threshold are dropped (all their edge rows filtered out)."""
+    eschema = edges.schema().base_schema
     sized = _with_cardinality(block_sizes(edges)).materialize()
     threshold = purging_threshold(sized, smoothing_factor)
     keep = sized.filter(expr=f"cardinality <= {threshold}").select_columns(["key"])
-    purged = hash_join(edges, keep, on=("key",), num_partitions=num_partitions)
+    purged = hash_join(
+        edges, keep, on=("key",), num_partitions=num_partitions,
+        left_schema=eschema,
+        right_schema=pa.schema([("key", eschema.field("key").type)]),
+    )
     return purged, threshold
 
 
@@ -105,12 +110,17 @@ def block_filtering(
     """Keep each entity in the round(ratio*n) smallest of its blocks, then
     drop blocks left with < 2 entities. Two groupby shuffles + one join."""
     ensure_context()
+    eschema = edges.schema().base_schema
     sized = _with_cardinality(block_sizes(edges))
     annotated = hash_join(
         edges,
         sized.select_columns(["key", "cardinality"]),
         on=("key",),
         num_partitions=num_partitions,
+        left_schema=eschema,
+        right_schema=pa.schema(
+            [("key", eschema.field("key").type), ("cardinality", pa.int64())]
+        ),
     )
 
     def _pack(batch: pa.Table) -> pa.Table:
@@ -153,4 +163,8 @@ def block_filtering(
     kept = per_doc.map_batches(_cut, batch_format="pyarrow").materialize()
     sizes2 = block_sizes(kept)
     keep_keys = sizes2.filter(expr="block_size >= 2").select_columns(["key"])
-    return hash_join(kept, keep_keys, on=("key",), num_partitions=num_partitions)
+    return hash_join(
+        kept, keep_keys, on=("key",), num_partitions=num_partitions,
+        left_schema=pa.schema([("key", pa.string()), ("doc_id", pa.int64())]),
+        right_schema=pa.schema([("key", pa.string())]),
+    )

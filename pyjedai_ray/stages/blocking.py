@@ -95,11 +95,18 @@ def blocks_with_sizes(
     """Edge list annotated with its key's block size, filtered to
     [min_size, max_size] — drop_single_entity_blocks / max-block-size
     semantics (src/pyjedai/utils.py:85-122)."""
+    eschema = edges.schema().base_schema
     sizes = block_sizes(edges)
     keep = sizes.filter(expr=f"block_size >= {min_size}")
     if max_size is not None:
         keep = keep.filter(expr=f"block_size <= {max_size}")
-    return hash_join(edges, keep, on=("key",), num_partitions=num_partitions)
+    return hash_join(
+        edges, keep, on=("key",), num_partitions=num_partitions,
+        left_schema=eschema,
+        right_schema=pa.schema(
+            [("key", eschema.field("key").type), ("block_size", pa.int64())]
+        ),
+    )
 
 
 def _emit_pairs_partition(

@@ -71,12 +71,17 @@ def attach_clusters(
 ) -> ray.data.Dataset:
     """Left-join cluster ids onto the corpus; unmatched docs (singletons) get
     cluster_id = their own id."""
+    from .exchange import probe_schema
+
+    docs, dschema = probe_schema(docs)
     joined = hash_join(
         docs,
         clusters.rename_columns({"doc_id": id_col}),
         on=(id_col,),
         num_partitions=num_partitions,
         join_type="left outer",
+        left_schema=dschema,
+        right_schema=pa.schema([(id_col, pa.int64()), ("cluster_id", pa.int64())]),
     )
 
     def _fill(batch: pa.Table) -> pa.Table:
@@ -105,11 +110,12 @@ def unique_mapping_clustering(
     pairs: ray.data.Dataset, threshold: float = 0.1
 ) -> ray.data.Dataset:
     """CCER greedy 1-1 matching (clustering.py:477-539): scan edges by
-    descending weight, match a pair iff both endpoints are unmatched."""
+    descending weight, match a pair iff both endpoints are unmatched.
+    Edges admitted with strict ``weight > threshold`` (reference :521)."""
     matched: set[int] = set()
     out1, out2 = [], []
     for w, a, b in _sorted_edges(pairs):
-        if w < threshold:
+        if w <= threshold:
             break
         if a in matched or b in matched:
             continue
@@ -146,33 +152,44 @@ def best_match_clustering(
 def merge_center_clustering(
     pairs: ray.data.Dataset, threshold: float = 0.1
 ) -> ray.data.Dataset:
-    """MergeCenterClustering (clustering.py:730-791): like center clustering
-    but WITHOUT weight normalization when choosing the center — the first-seen
-    endpoint (smaller id on ties) becomes the center; members attaching to a
-    member's center merge transitively."""
+    """MergeCenterClustering (clustering.py:730-791): center clustering
+    WITHOUT weight normalization — the D1-side (smaller-id) endpoint of the
+    first-seen edge becomes the center. A center-to-member edge where the
+    member already belongs to ANOTHER center still lands in the output graph
+    (reference :770-776 has no not-member guard), transitively MERGING the two
+    clusters via connected components. Strict ``weight > threshold``
+    (reference :758)."""
+    from ..state.unionfind import UnionFind
+
     is_center: set[int] = set()
-    center_of: dict[int, int] = {}
+    is_member: set[int] = set()
+    uf = UnionFind()
     for w, a, b in _sorted_edges(pairs):
-        if w < threshold:
+        if w <= threshold:
             continue
-        a_free = a not in is_center and a not in center_of
-        b_free = b not in is_center and b not in center_of
-        if a_free and b_free:
+        a_c, b_c = a in is_center, b in is_center
+        a_m, b_m = a in is_member, b in is_member
+        if not (a_c or b_c or a_m or b_m):
             is_center.add(a)
-            center_of[b] = a
-        elif a in is_center and b_free:
-            center_of[b] = a
-        elif b in is_center and a_free:
-            center_of[a] = b
-    rows_n, rows_c = [], []
-    for c in sorted(is_center):
-        rows_n.append(c)
-        rows_c.append(c)
-    for m in sorted(center_of):
-        rows_n.append(m)
-        rows_c.append(center_of[m])
+            is_member.add(b)
+            uf.union(a, b)
+        elif (a_c and b_c) or (a_m and b_m):
+            continue
+        elif a_c:
+            is_member.add(b)
+            uf.union(a, b)
+        elif b_c:
+            is_member.add(a)
+            uf.union(a, b)
+    comp = uf.components()
+    nodes = sorted(comp)
     return ray.data.from_arrow(
-        pa.table({"doc_id": pa.array(rows_n, pa.int64()), "cluster_id": pa.array(rows_c, pa.int64())})
+        pa.table(
+            {
+                "doc_id": pa.array(nodes, pa.int64()),
+                "cluster_id": pa.array([comp[n] for n in nodes], pa.int64()),
+            }
+        )
     )
 
 
@@ -180,25 +197,32 @@ def center_clustering(
     pairs: ray.data.Dataset, threshold: float = 0.1
 ) -> ray.data.Dataset:
     """Center clustering (clustering.py:568-639): scan desc-weight edges;
-    first-seen endpoint of an edge becomes a center (preferring the one with
-    higher weight-degree sum), the other becomes its member."""
-    # weight-degree sums
+    first-seen endpoint of an edge becomes a center — the one with the higher
+    DEGREE-NORMALIZED weight sum (edges_weight[v]/edges_attached[v], reference
+    :590-604,621-622; ties -> v2) — the other becomes its member. Edges are
+    admitted with strict ``weight > threshold`` (reference :598)."""
+    # degree-normalized weight sums over admitted edges
     wsum: dict[int, float] = {}
+    deg: dict[int, int] = {}
     edges = _sorted_edges(pairs)
     for w, a, b in edges:
-        if w < threshold:
+        if w <= threshold:
             continue
         wsum[a] = wsum.get(a, 0.0) + w
         wsum[b] = wsum.get(b, 0.0) + w
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
     is_center: set[int] = set()
     is_member: dict[int, int] = {}
     for w, a, b in edges:
-        if w < threshold:
+        if w <= threshold:
             continue
         a_free = a not in is_center and a not in is_member
         b_free = b not in is_center and b not in is_member
         if a_free and b_free:
-            center, member = (a, b) if wsum.get(a, 0) >= wsum.get(b, 0) else (b, a)
+            na = wsum[a] / deg[a]
+            nb = wsum[b] / deg[b]
+            center, member = (a, b) if na > nb else (b, a)
             is_center.add(center)
             is_member[member] = center
         elif a in is_center and b_free:

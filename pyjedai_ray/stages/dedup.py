@@ -244,8 +244,18 @@ def substring_overlap_dedup(
     right = sigs.select_columns(["doc_id", "wins"]).rename_columns(
         {"doc_id": "id2", "wins": "w2"}
     )
-    joined = hash_join(cands.select_columns(["id1", "id2"]), left, on=("id1",), num_partitions=num_partitions)
-    joined = hash_join(joined, right, on=("id2",), num_partitions=num_partitions)
+    i64 = pa.int64()
+    ids_schema = pa.schema([("id1", i64), ("id2", i64)])
+    joined = hash_join(
+        cands.select_columns(["id1", "id2"]), left, on=("id1",),
+        num_partitions=num_partitions, left_schema=ids_schema,
+        right_schema=pa.schema([("id1", i64), ("w1", pa.binary())]),
+    )
+    joined = hash_join(
+        joined, right, on=("id2",), num_partitions=num_partitions,
+        left_schema=pa.schema([("id1", i64), ("id2", i64), ("w1", pa.binary())]),
+        right_schema=pa.schema([("id2", i64), ("w2", pa.binary())]),
+    )
 
     def _contain(batch: pa.Table) -> pa.Table:
         out_schema = pa.schema(

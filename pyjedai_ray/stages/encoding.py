@@ -348,3 +348,79 @@ def embeddings_nn_blocking(
 
     out = parts.map_batches(_bucket_knn, batch_format="pyarrow", batch_size=None)
     return stamp_schema(out, ann.KNN_SCHEMA)
+
+
+def nn_progressive_emit(
+    knn: ray.data.Dataset,
+    budget: int,
+    strategy: str = "HB",
+    num_partitions: int = 32,
+    avg_round: int | None = None,
+) -> ray.data.Dataset:
+    """Budgeted emission over kNN neighborhoods (query_id, neighbor_id,
+    score[, rank]) — the EmbeddingsNNBPM ordering layer (reference
+    prioritization.py:659-746): neighborhoods sorted by average similarity
+    (reference sorts by ascending average DISTANCE — same order), TOP /
+    DFS / BFS / HB emission, canonical-pair dedup, budget cut."""
+    from ray.data.aggregate import Max as _Max
+
+    from .exchange import stamp_schema as _stamp
+    from .meta_blocking import emit_directed
+
+    directed = knn.select_columns(
+        ["query_id", "neighbor_id", "score"]
+    ).rename_columns({"query_id": "id1", "neighbor_id": "id2", "score": "weight"})
+    strategy = strategy.upper()
+    if strategy == "TOP":
+        # global descending-score emission; a pair seen from both
+        # neighborhoods emits once (canonical order, max score)
+        def _canon(batch: pa.Table) -> pa.Table:
+            schema = pa.schema(
+                [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+            )
+            if batch.num_rows == 0 or "id1" not in batch.column_names:
+                return schema.empty_table()
+            a = batch["id1"].to_numpy(zero_copy_only=False)
+            b = batch["id2"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "id1": pa.array(np.minimum(a, b), pa.int64()),
+                    "id2": pa.array(np.maximum(a, b), pa.int64()),
+                    "weight": batch["weight"],
+                }
+            )
+
+        dd = _stamp(
+            directed.map_batches(_canon, batch_format="pyarrow")
+            .groupby(["id1", "id2"])
+            .aggregate(_Max("weight", alias_name="weight")),
+            pa.schema(
+                [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+            ),
+        )
+        return dd.sort(
+            ["weight", "id1", "id2"], descending=[True, False, False]
+        ).limit(budget)
+    return emit_directed(directed, budget, strategy, num_partitions, avg_round=avg_round)
+
+
+def embeddings_nn_bpm(
+    docs: ray.data.Dataset,
+    budget: int,
+    strategy: str = "HB",
+    k: int = 5,
+    dim: int = 64,
+    n_clusters: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """EmbeddingsNNBPM (prioritization.py:622-842): encode entities (actor
+    pool), build kNN neighborhoods (k-means coarse quantize + bucket-local
+    top-k), then budgeted TOP/DFS/BFS/HB emission -> (id1, id2, weight)."""
+    knn = embeddings_nn_blocking(
+        docs, k=k, dim=dim, n_clusters=n_clusters, seed=seed,
+        id_col=id_col, text_col=text_col,
+    )
+    return nn_progressive_emit(knn, budget, strategy, num_partitions)

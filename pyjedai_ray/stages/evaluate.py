@@ -43,12 +43,15 @@ def evaluate_pairs(
     gt = _canonical(ground_truth.select_columns(["id1", "id2"])).materialize()
     n_pred = pred.count()
     n_gt = gt.count()
+    ids_schema = pa.schema([("id1", pa.int64()), ("id2", pa.int64())])
     tp = hash_join(
         pred,
-        gt.rename_columns({"id1": "id1", "id2": "id2"}),
+        gt,
         on=("id1", "id2"),
         num_partitions=num_partitions,
         join_type="left semi",
+        left_schema=ids_schema,
+        right_schema=ids_schema,
     ).count()
     precision = tp / n_pred if n_pred else 0.0
     recall = tp / n_gt if n_gt else 0.0

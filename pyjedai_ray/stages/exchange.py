@@ -77,6 +77,22 @@ def stamp_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     return seed.union(stamped)
 
 
+def probe_schema(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, pa.Schema | None]:
+    """Materialize once and probe the block schema. Use at the HEAD of a join
+    chain; downstream joins then take derived schemas (renamed/appended) and
+    stream — one barrier for the whole chain instead of one per join."""
+    m = ds.materialize()
+    return m, _block_schema(m)
+
+
+def renamed(schema: pa.Schema, mapping: dict[str, str]) -> pa.Schema:
+    return pa.schema([(mapping.get(f.name, f.name), f.type) for f in schema])
+
+
+def appended(schema: pa.Schema, fields: list[tuple[str, pa.DataType]]) -> pa.Schema:
+    return pa.schema(list(schema) + [pa.field(n, t) for n, t in fields])
+
+
 _SIDE = "__jside"
 
 
@@ -116,6 +132,8 @@ def hash_join(
     num_partitions: int = 32,
     right_on: tuple[str, ...] | list[str] | None = None,
     join_type: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Schema-safe distributed hash join (see module docstring).
 
@@ -128,6 +146,12 @@ def hash_join(
 
     join_type: any pyarrow join type ("inner", "left outer", "left semi", ...).
     Non-key column names must be disjoint between the two sides.
+
+    left_schema / right_schema: the side's schema when the caller knows it
+    statically (every stage knows its output schema). Passing both turns the
+    join fully streaming — no materialize-to-probe-blocks barrier. Schemas
+    describe the datasets AS PASSED (right-side key fields named per
+    ``right_on``; the key rename is applied here).
     """
     ensure_context(left)
     ensure_context(right)
@@ -135,12 +159,21 @@ def hash_join(
     on = list(on)
     right_on = list(right_on or on)
     if right_on != on:
-        right = right.rename_columns(dict(zip(right_on, on)))
+        mapping = dict(zip(right_on, on))
+        right = right.rename_columns(mapping)
+        if right_schema is not None:
+            right_schema = pa.schema(
+                [(mapping.get(f.name, f.name), f.type) for f in right_schema]
+            )
 
-    L = left.materialize()
-    R = right.materialize()
-    lschema = _block_schema(L)
-    rschema = _block_schema(R)
+    L, R = left, right
+    lschema, rschema = left_schema, right_schema
+    if lschema is None:
+        L = L.materialize()
+        lschema = _block_schema(L)
+    if rschema is None:
+        R = R.materialize()
+        rschema = _block_schema(R)
     if lschema is None or rschema is None:
         # a side is fully empty with unknown schema (e.g. zero candidate
         # pairs). Inner join => empty result; left-outer with empty right =>

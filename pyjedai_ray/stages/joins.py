@@ -32,7 +32,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..functions.tokenize import qgram_keys, standard_tokens
 from .blocking import directed_pairs, explode_keys, per_center_topk
-from .exchange import ensure_context, hash_join, stamp_schema
+from .exchange import appended, ensure_context, hash_join, stamp_schema
 
 JOIN_METRICS = ("cosine", "dice", "jaccard")
 
@@ -86,13 +86,19 @@ def _with_similarity(
     metric: str,
     num_partitions: int,
 ) -> ray.data.Dataset:
+    i64 = pa.int64()
+    commons_schema = pa.schema([("id1", i64), ("id2", i64), ("common", i64)])
     p = hash_join(
         commons, counts.rename_columns({"doc_id": "id1", "ntok": "n1"}),
         on=("id1",), num_partitions=num_partitions,
+        left_schema=commons_schema,
+        right_schema=pa.schema([("id1", i64), ("n1", i64)]),
     )
     p = hash_join(
         p, counts.rename_columns({"doc_id": "id2", "ntok": "n2"}),
         on=("id2",), num_partitions=num_partitions,
+        left_schema=appended(commons_schema, [("n1", i64)]),
+        right_schema=pa.schema([("id2", i64), ("n2", i64)]),
     )
 
     def _sim(batch: pa.Table) -> pa.Table:

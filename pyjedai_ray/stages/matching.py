@@ -26,7 +26,7 @@ import ray.data
 from ..functions import similarity as sim
 from ..functions.hashing import hamming64
 from ..functions.tokenize import qgram_keys, standard_tokens
-from .exchange import hash_join
+from .exchange import appended, hash_join, probe_schema, renamed
 
 
 def join_signatures(
@@ -36,12 +36,28 @@ def join_signatures(
     num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """pairs (id1,id2,...) + sigs (doc_id,...) -> pairs with per-side columns
-    suffixed _1/_2 (two hash joins on doc_id)."""
-    s = sigs.select_columns(["doc_id", *columns])
+    suffixed _1/_2 (two hash joins on doc_id).
+
+    Schemas are probed ONCE at the head of the chain; both joins then stream
+    (no per-join materialize barrier)."""
+    s, sschema = probe_schema(sigs.select_columns(["doc_id", *columns]))
+    pairs, pschema = probe_schema(pairs)
     left = s.rename_columns({"doc_id": "id1", **{c: f"{c}_1" for c in columns}})
     right = s.rename_columns({"doc_id": "id2", **{c: f"{c}_2" for c in columns}})
-    out = hash_join(pairs, left, on=("id1",), num_partitions=num_partitions)
-    return hash_join(out, right, on=("id2",), num_partitions=num_partitions)
+    if sschema is None or pschema is None:
+        out = hash_join(pairs, left, on=("id1",), num_partitions=num_partitions)
+        return hash_join(out, right, on=("id2",), num_partitions=num_partitions)
+    lschema = renamed(sschema, {"doc_id": "id1", **{c: f"{c}_1" for c in columns}})
+    rschema = renamed(sschema, {"doc_id": "id2", **{c: f"{c}_2" for c in columns}})
+    out = hash_join(
+        pairs, left, on=("id1",), num_partitions=num_partitions,
+        left_schema=pschema, right_schema=lschema,
+    )
+    mid = appended(pschema, [(f.name, f.type) for f in lschema if f.name != "id1"])
+    return hash_join(
+        out, right, on=("id2",), num_partitions=num_partitions,
+        left_schema=mid, right_schema=rschema,
+    )
 
 
 # measured crossover: broadcast wins through ~1M docs (lookup ~1GB/actor);
@@ -197,11 +213,10 @@ def verify_pairs_text(
     num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """Text-level verification with the reference's set/edit metric families."""
-    d = docs.select_columns([id_col, text_col])
-    left = d.rename_columns({id_col: "id1", text_col: "text_1"})
-    right = d.rename_columns({id_col: "id2", text_col: "text_2"})
-    joined = hash_join(pairs, left, on=("id1",), num_partitions=num_partitions)
-    joined = hash_join(joined, right, on=("id2",), num_partitions=num_partitions)
+    d = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "doc_id", text_col: "text"}
+    )
+    joined = join_signatures(pairs, d, columns=("text",), num_partitions=num_partitions)
     tok = _TOKENIZERS[tokenizer]
     if metric in sim.SET_METRICS:
         metric_fn = sim.SET_METRICS[metric]
@@ -268,19 +283,19 @@ def verify_pairs_vectors(
         )
 
     enc = embeddings.map_batches(_enc, batch_format="pyarrow")
-    left = enc.rename_columns({"doc_id": "id1", "vecbin": "v1"})
-    right = enc.rename_columns({"doc_id": "id2", "vecbin": "v2"})
-    joined = hash_join(pairs.select_columns(["id1", "id2"]), left, on=("id1",), num_partitions=num_partitions)
-    joined = hash_join(joined, right, on=("id2",), num_partitions=num_partitions)
+    joined = join_signatures(
+        pairs.select_columns(["id1", "id2"]), enc, columns=("vecbin",),
+        num_partitions=num_partitions,
+    )
 
     def _cos(batch: pa.Table) -> pa.Table:
         out_schema = pa.schema(
             [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
         )
-        if batch.num_rows == 0 or "v1" not in batch.column_names:
+        if batch.num_rows == 0 or "vecbin_1" not in batch.column_names:
             return out_schema.empty_table()
         w = np.empty(batch.num_rows)
-        for i, (b1, b2) in enumerate(zip(batch["v1"].to_pylist(), batch["v2"].to_pylist())):
+        for i, (b1, b2) in enumerate(zip(batch["vecbin_1"].to_pylist(), batch["vecbin_2"].to_pylist())):
             a = np.frombuffer(b1, dtype=np.float32).astype(np.float64)
             b = np.frombuffer(b2, dtype=np.float32).astype(np.float64)
             na, nb = np.linalg.norm(a), np.linalg.norm(b)
@@ -425,17 +440,28 @@ def verify_pairs_tfidf(
         pa.schema([("doc_id", pa.int64()), ("norm2", pa.float64())]),
     )
 
+    # all three left-outer joins stream: nums/norms schemas are stamped above
+    # and the pair-id schema is static (one probe at the head, zero after)
+    ids_schema = pa.schema([("id1", pa.int64()), ("id2", pa.int64())])
+    num_schema = pa.schema(
+        [("id1", pa.int64()), ("id2", pa.int64()), ("num", pa.float64())]
+    )
     joined = hash_join(
         pairs.select_columns(["id1", "id2"]), nums, on=("id1", "id2"),
         num_partitions=num_partitions, join_type="left outer",
+        left_schema=ids_schema, right_schema=num_schema,
     )
     joined = hash_join(
         joined, norms.rename_columns({"doc_id": "id1", "norm2": "n1"}),
         on=("id1",), num_partitions=num_partitions, join_type="left outer",
+        left_schema=num_schema,
+        right_schema=pa.schema([("id1", pa.int64()), ("n1", pa.float64())]),
     )
     joined = hash_join(
         joined, norms.rename_columns({"doc_id": "id2", "norm2": "n2"}),
         on=("id2",), num_partitions=num_partitions, join_type="left outer",
+        left_schema=appended(num_schema, [("n1", pa.float64())]),
+        right_schema=pa.schema([("id2", pa.int64()), ("n2", pa.float64())]),
     )
 
     def _weight(batch: pa.Table) -> pa.Table:
@@ -509,11 +535,13 @@ def llm_verify_stub(
 ) -> ray.data.Dataset:
     """Candidate pairs scored by the (stubbed) LLM actor pool — small batches,
     model loaded once per actor; the real shape of an LLM matching stage."""
-    d = docs.select_columns([id_col, text_col])
-    left = d.rename_columns({id_col: "id1", text_col: "text_1"})
-    right = d.rename_columns({id_col: "id2", text_col: "text_2"})
-    joined = hash_join(pairs.select_columns(["id1", "id2"]), left, on=("id1",), num_partitions=num_partitions)
-    joined = hash_join(joined, right, on=("id2",), num_partitions=num_partitions)
+    d = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "doc_id", text_col: "text"}
+    )
+    joined = join_signatures(
+        pairs.select_columns(["id1", "id2"]), d, columns=("text",),
+        num_partitions=num_partitions,
+    )
     return joined.map_batches(
         LLMVerifierStub,
         fn_constructor_kwargs={"use_stub": True},

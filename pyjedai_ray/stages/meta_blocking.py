@@ -47,7 +47,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean
 
 from .blocking import directed_pairs, per_center_topk, reduce_canonical_pairs
-from .exchange import ensure_context, hash_join, stamp_schema
+from .exchange import appended, ensure_context, hash_join, probe_schema, stamp_schema
 
 WEIGHT_SCHEMES = ("CBS", "ARCS", "COSINE", "DICE", "JS", "ECBS", "EJS", "X2", "CNC", "CND", "CNJ")
 
@@ -84,15 +84,24 @@ def weighted_pairs(
     if scheme not in WEIGHT_SCHEMES:
         raise ValueError(f"unknown weighting scheme {scheme}; have {WEIGHT_SCHEMES}")
 
+    # probe the (caller-shaped) pairs schema once; every join in the chain
+    # then streams with derived schemas (bpe/cpe schemas are stamped above)
+    pairs, pschema = probe_schema(pairs)
+    i64 = pa.int64()
+
+    def _attach(p, pschema, stats, src_cols, out_cols):
+        for key, (src, dst) in zip(("id1", "id2"), zip(src_cols, out_cols)):
+            rhs_schema = pa.schema([(key, i64), (dst, i64)])
+            p = hash_join(
+                p, stats.rename_columns({"doc_id": key, src: dst}), on=(key,),
+                num_partitions=num_partitions,
+                left_schema=pschema, right_schema=rhs_schema,
+            )
+            pschema = appended(pschema, [(dst, i64)]) if pschema else None
+        return p, pschema
+
     bpe = entity_block_counts(edges)
-    p = hash_join(
-        pairs, bpe.rename_columns({"doc_id": "id1", "bpe": "bpe1"}), on=("id1",),
-        num_partitions=num_partitions,
-    )
-    p = hash_join(
-        p, bpe.rename_columns({"doc_id": "id2", "bpe": "bpe2"}), on=("id2",),
-        num_partitions=num_partitions,
-    )
+    p, pschema = _attach(pairs, pschema, bpe, ("bpe", "bpe"), ("bpe1", "bpe2"))
 
     num_blocks = None
     if scheme in ("ECBS", "X2"):
@@ -101,14 +110,7 @@ def weighted_pairs(
     if scheme in ("EJS", "CNC", "CND", "CNJ"):
         dc = pairs.count()
         cpe = node_degrees(pairs)
-        p = hash_join(
-            p, cpe.rename_columns({"doc_id": "id1", "cpe": "cpe1"}), on=("id1",),
-            num_partitions=num_partitions,
-        )
-        p = hash_join(
-            p, cpe.rename_columns({"doc_id": "id2", "cpe": "cpe2"}), on=("id2",),
-            num_partitions=num_partitions,
-        )
+        p, pschema = _attach(p, pschema, cpe, ("cpe", "cpe"), ("cpe1", "cpe2"))
 
     def _weigh(batch: pa.Table) -> pa.Table:
         cbs = batch["cbs"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -245,13 +247,34 @@ def _node_stat(weighted: ray.data.Dataset, agg: str) -> ray.data.Dataset:
     return stamp_schema(out, pa.schema([("node", pa.int64()), ("stat", pa.float64())]))
 
 
+def _join_node_stats(
+    weighted: ray.data.Dataset,
+    stats: ray.data.Dataset,
+    names: tuple[str, str],
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Join per-node stats onto both endpoints; one schema probe, joins stream."""
+    weighted, wschema = probe_schema(weighted)
+    s1, s2 = names
+    f64 = pa.float64()
+    p = hash_join(
+        weighted, stats.rename_columns({"node": "id1", "stat": s1}), on=("id1",),
+        num_partitions=num_partitions, left_schema=wschema,
+        right_schema=pa.schema([("id1", pa.int64()), (s1, f64)]),
+    )
+    p = hash_join(
+        p, stats.rename_columns({"node": "id2", "stat": s2}), on=("id2",),
+        num_partitions=num_partitions,
+        left_schema=appended(wschema, [(s1, f64)]) if wschema else None,
+        right_schema=pa.schema([("id2", pa.int64()), (s2, f64)]),
+    )
+    return p
+
+
 def wnp(weighted: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Dataset:
     """Weighted Node Pruning: keep w >= neighborhood-average of EITHER endpoint."""
     stats = _node_stat(weighted, "mean")
-    p = hash_join(weighted, stats.rename_columns({"node": "id1", "stat": "avg1"}),
-                  on=("id1",), num_partitions=num_partitions)
-    p = hash_join(p, stats.rename_columns({"node": "id2", "stat": "avg2"}),
-                  on=("id2",), num_partitions=num_partitions)
+    p = _join_node_stats(weighted, stats, ("avg1", "avg2"), num_partitions)
     return p.filter(expr="weight >= avg1 or weight >= avg2").select_columns(
         ["id1", "id2", "cbs", "weight"]
     )
@@ -260,10 +283,7 @@ def wnp(weighted: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Datase
 def rwnp(weighted: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Dataset:
     """Reciprocal WNP: w >= BOTH neighborhood averages."""
     stats = _node_stat(weighted, "mean")
-    p = hash_join(weighted, stats.rename_columns({"node": "id1", "stat": "avg1"}),
-                  on=("id1",), num_partitions=num_partitions)
-    p = hash_join(p, stats.rename_columns({"node": "id2", "stat": "avg2"}),
-                  on=("id2",), num_partitions=num_partitions)
+    p = _join_node_stats(weighted, stats, ("avg1", "avg2"), num_partitions)
     return p.filter(expr="weight >= avg1 and weight >= avg2").select_columns(
         ["id1", "id2", "cbs", "weight"]
     )
@@ -272,10 +292,7 @@ def rwnp(weighted: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Datas
 def blast(weighted: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Dataset:
     """BLAST: keep w >= (max_neighborhood(i) + max_neighborhood(j)) / 4."""
     stats = _node_stat(weighted, "max")
-    p = hash_join(weighted, stats.rename_columns({"node": "id1", "stat": "max1"}),
-                  on=("id1",), num_partitions=num_partitions)
-    p = hash_join(p, stats.rename_columns({"node": "id2", "stat": "max2"}),
-                  on=("id2",), num_partitions=num_partitions)
+    p = _join_node_stats(weighted, stats, ("max1", "max2"), num_partitions)
 
     # NOTE: not an expr-filter — Ray 2.49's expression parser silently
     # mis-evaluates arithmetic like (max1 + max2) / 4 (returns no rows).
@@ -507,14 +524,32 @@ def progressive_emit(
     (pos/avg from one sorted run scan) -> keyed repartition on the canonical
     pair -> first-occurrence winner -> global sort + limit(budget).
     """
-    import pyarrow.compute as _pc
-
     strategy = strategy.upper()
     if strategy == "TOP":
         return progressive_top(weighted, budget)
     if strategy not in ("DFS", "BFS", "HB"):
         raise ValueError(f"unknown emission strategy {strategy}")
 
+    directed = directed_pairs(weighted.select_columns(["id1", "id2", "weight"]))
+    return emit_directed(directed, budget, strategy, num_partitions)
+
+
+def emit_directed(
+    directed: ray.data.Dataset,
+    budget: int,
+    strategy: str,
+    num_partitions: int = 32,
+    avg_round: int | None = None,
+) -> ray.data.Dataset:
+    """Budgeted DFS/BFS/HB emission over DIRECTED neighborhoods (id1=center,
+    id2=neighbor, weight). Used by ``progressive_emit`` (symmetrized
+    meta-blocking neighborhoods) and ``embeddings_nn_bpm`` (asymmetric kNN
+    neighborhoods, prioritization.py:622-842). Within each neighborhood the
+    position order is (weight desc, id2 asc) — for kNN inputs this equals the
+    rank order. See ``progressive_emit`` for the sort-plan derivation."""
+    import pyarrow.compute as _pc
+
+    strategy = strategy.upper()
     from .exchange import effective_partitions as _ep
 
     ann_schema = pa.schema(
@@ -525,7 +560,6 @@ def progressive_emit(
         ]
     )
 
-    directed = directed_pairs(weighted.select_columns(["id1", "id2", "weight"]))
     parts = directed.repartition(_ep(num_partitions), keys=["id1"])
 
     def _annotate(batch: pa.Table) -> pa.Table:
@@ -544,6 +578,11 @@ def progressive_emit(
         lengths = np.diff(np.concatenate([starts, [n]]))
         pos = np.arange(n) - np.repeat(starts, lengths)
         avg = np.repeat(np.add.reduceat(w, starts) / lengths, lengths)
+        if avg_round is not None:
+            # collapse sub-ulp summation-order noise so emission-order keys
+            # are bit-identical with a SQL AVG oracle (float weights only;
+            # integer-valued weights need no rounding)
+            avg = np.round(avg, avg_round)
         blk = (pos > 0).astype(np.int64) if strategy == "HB" else np.zeros(n, np.int64)
         return pa.table(
             {

@@ -74,31 +74,40 @@ def label_propagation(edges, max_iters: int = 50):
 
     lab_schema = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
 
+    # symmetrize ONCE and materialize: every round joins the same static
+    # (src, dst) table — without this each round re-executes the caller's
+    # whole upstream lineage to produce the edge list again
+    fwd = edges.select_columns(["id1", "id2"]).rename_columns(
+        {"id1": "src", "id2": "dst"}
+    )
+    rev = edges.select_columns(["id1", "id2"]).rename_columns(
+        {"id1": "dst", "id2": "src"}
+    )
+    sym = fwd.union(rev).materialize()
+    sym_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
     # initial labels: every node labels itself
-    n1 = edges.select_columns(["id1"]).rename_columns({"id1": "node"})
-    n2 = edges.select_columns(["id2"]).rename_columns({"id2": "node"})
     labels = stamp_schema(
-        n1.union(n2).groupby("node").aggregate(Min("node", alias_name="cluster_id")),
+        sym.select_columns(["src"]).rename_columns({"src": "node"})
+        .groupby("node").aggregate(Min("node", alias_name="cluster_id")),
         lab_schema,
     ).materialize()
     nparts = max(2, min(64, labels.num_blocks()))
 
     prev_sum = labels.sum("cluster_id")
     for _ in range(max_iters):
-        lab1 = labels.rename_columns({"node": "id1", "cluster_id": "l1"})
-        lab2 = labels.rename_columns({"node": "id2", "cluster_id": "l2"})
-        e = hash_join(edges, lab1, on=("id1",), num_partitions=nparts)
-        e = hash_join(e, lab2, on=("id2",), num_partitions=nparts)
-        # send each endpoint the other's label (hash-to-min exchange)
-        m1 = e.select_columns(["id1", "l2"]).rename_columns(
-            {"id1": "node", "l2": "cluster_id"}
+        # ONE join sends each src its neighbors' labels (hash-to-min exchange)
+        e = hash_join(
+            sym, labels.rename_columns({"node": "dst", "cluster_id": "lab"}),
+            on=("dst",), num_partitions=nparts,
+            left_schema=sym_schema,
+            right_schema=pa.schema([("dst", pa.int64()), ("lab", pa.int64())]),
         )
-        m2 = e.select_columns(["id2", "l1"]).rename_columns(
-            {"id2": "node", "l1": "cluster_id"}
+        m = e.select_columns(["src", "lab"]).rename_columns(
+            {"src": "node", "lab": "cluster_id"}
         )
         labels = stamp_schema(
-            labels.union(m1)
-            .union(m2)
+            labels.union(m)
             .groupby("node")
             .aggregate(Min("cluster_id", alias_name="cluster_id")),
             lab_schema,
@@ -106,7 +115,11 @@ def label_propagation(edges, max_iters: int = 50):
         # pointer jumping (path doubling): pull label[label] so chains
         # converge in O(log n) rounds instead of O(diameter)
         parents = labels.rename_columns({"node": "cluster_id", "cluster_id": "grand"})
-        jumped = hash_join(labels, parents, on=("cluster_id",), num_partitions=nparts)
+        jumped = hash_join(
+            labels, parents, on=("cluster_id",), num_partitions=nparts,
+            left_schema=lab_schema,
+            right_schema=pa.schema([("cluster_id", pa.int64()), ("grand", pa.int64())]),
+        )
         j1 = jumped.select_columns(["node", "grand"]).rename_columns({"grand": "cluster_id"})
         labels = stamp_schema(
             labels.union(j1).groupby("node").aggregate(Min("cluster_id", alias_name="cluster_id")),
