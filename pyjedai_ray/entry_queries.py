@@ -634,6 +634,36 @@ def q_random_sample_pairs(sf_dir: str):
     return meta_blocking.random_pairs(w.select_columns(["id1", "id2", "weight"]), 0.5, seed=42)
 
 
+def q_kiraly_clusters(sf_dir: str):
+    """Kiraly MSM approximate clustering over a bipartite (even id1, odd id2)
+    slice of the JS-weighted pair graph — bipartite so the matching's
+    components are exactly the matched pairs (CCER shape; the operator is
+    CCER-only in the reference, clustering.py:1203-1204)."""
+    w, _, _ = _weighted(sf_dir, "JS")
+    w = w.select_columns(["id1", "id2", "weight"])
+
+    def _bip(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "id1" not in batch.column_names:
+            return pa.schema(
+                [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+            ).empty_table()
+        a = batch["id1"].to_numpy(zero_copy_only=False)
+        b = batch["id2"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((a % 2 == 0) & (b % 2 == 1)))
+
+    return clustering.kiraly_clustering(
+        w.map_batches(_bip, batch_format="pyarrow"), 0.05
+    )
+
+
+def q_markov_clusters(sf_dir: str):
+    # rows-only: the MCL matrix iteration is not SQL-expressible
+    w, _, _ = _weighted(sf_dir, "JS")
+    return clustering.markov_clustering(
+        w.select_columns(["id1", "id2", "weight"]), threshold=0.05
+    )
+
+
 def q_extended_qgram_blocking(sf_dir: str):
     # rows-only: the >= ceil(0.95*L) q-gram combination expansion
     # (block_building.py:714-773) is combinatorial — not worth oracle SQL
@@ -775,6 +805,7 @@ def queries():
         "embedding_neardup": q_embedding_neardup,
         "nn_bpm_hb": q_nn_bpm_hb,
         "nn_bpm_top": q_nn_bpm_top,
+        "kiraly_clusters": q_kiraly_clusters,
         # rows-only (hash-based / stateful / synthetic input):
         "minhash_candidates": q_minhash_candidates,
         "minhash_dedup_clusters": q_minhash_dedup_clusters,
@@ -790,6 +821,7 @@ def queries():
         "linkage_unique_mapping": q_linkage_unique_mapping,
         "center_clusters": q_center_clusters,
         "merge_center_clusters": q_merge_center_clusters,
+        "markov_clusters": q_markov_clusters,
         "best_match_pairs": q_best_match_pairs,
         "unique_mapping_pairs": q_unique_mapping_pairs,
         "random_sample_pairs": q_random_sample_pairs,
@@ -1250,6 +1282,32 @@ def oracle_sql():
             )
             SELECT id1, id2, weight FROM fo WHERE rn = 1
             ORDER BY blk, avg DESC, id1, pos LIMIT 40
+        """,
+        "kiraly_clusters": "WITH " + SQL_SHINGLE_PAIRS + """,
+            w AS (
+              SELECT id1 AS man, id2 AS woman,
+                     CAST(cbs AS DOUBLE) / (a.bpe + b.bpe - cbs) AS weight
+              FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2
+              WHERE id1 % 2 = 0 AND id2 % 2 = 1
+            ),
+            cand AS (SELECT * FROM w WHERE weight > 0.05),
+            prop AS (
+              SELECT man, woman, weight FROM (
+                SELECT man, woman, weight,
+                       row_number() OVER (PARTITION BY man ORDER BY weight DESC, woman) AS rn
+                FROM cand
+              ) WHERE rn = 1
+            ),
+            matched AS (
+              SELECT man, woman FROM (
+                SELECT man, woman,
+                       row_number() OVER (PARTITION BY woman ORDER BY weight DESC, man) AS rn
+                FROM prop
+              ) WHERE rn = 1
+            )
+            SELECT man AS doc_id, least(man, woman) AS cluster_id FROM matched
+            UNION ALL
+            SELECT woman AS doc_id, least(man, woman) AS cluster_id FROM matched
         """,
         "nn_bpm_top": SQL_NN_BPM_KNN + """,
             canon AS (

@@ -193,6 +193,113 @@ def merge_center_clustering(
     )
 
 
+def markov_clustering(
+    pairs: ray.data.Dataset,
+    threshold: float = 0.5,
+    cluster_threshold: float = 0.001,
+    matrix_similarity_threshold: float = 1e-5,
+    similarity_checks_limit: int = 10,
+) -> ray.data.Dataset:
+    """Markov Clustering (reference clustering.py:1055-1171): random-walk
+    matrix over the similarity graph, alternating expansion (matrix square —
+    the reference names this step ``inflate``) and elementwise-square
+    inflation (its ``expand``), column-normalized, to equilibrium; final
+    entries > cluster_threshold become edges whose connected components are
+    the clusters.
+
+    Driver-side dense numpy over the OBSERVED node set (the reference builds
+    an n_entities x n_entities scipy matrix; singletons outside the graph are
+    equivalent — they are diagonal-only and come back as implicit
+    singletons via attach_clusters). Runs on the post-verification edge list,
+    which is small relative to the corpus (module docstring)."""
+    edges = _sorted_edges(pairs)
+    admitted = [(w, a, b) for w, a, b in edges if w > threshold]
+    nodes = sorted({n for _, a, b in admitted for n in (a, b)})
+    if not nodes:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        )
+    idx = {n: i for i, n in enumerate(nodes)}
+    k = len(nodes)
+    S = np.zeros((k, k), dtype=np.float64)
+    for w, a, b in admitted:
+        S[idx[a], idx[b]] = w
+        S[idx[b], idx[a]] = w
+    np.fill_diagonal(S, 1.0)  # set_node_loop(1.0), reference :1130-1134
+
+    def _normalize(m: np.ndarray) -> np.ndarray:
+        cs = m.sum(axis=0)
+        cs[cs == 0] = 1.0
+        return m / cs
+
+    S = _normalize(S)
+    for _ in range(similarity_checks_limit):
+        prev = S
+        S = _normalize(S @ S)   # reference inflate() = matrix dot, :1146
+        S = _normalize(S * S)   # reference expand() = elementwise square, :1143
+        shared = (S != 0) & (prev != 0)
+        if np.all(np.abs(S[shared] - prev[shared]) <= matrix_similarity_threshold):
+            break
+
+    uf = UnionFind()
+    # max over both orientations decides admission (reference :1114-1126)
+    final = np.maximum(S, S.T)
+    iu, ju = np.nonzero(np.triu(final, k=1) > cluster_threshold)
+    for i, j in zip(iu, ju):
+        uf.union(nodes[i], nodes[j])
+    comp = uf.components()
+    out_nodes = sorted(comp)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(out_nodes, pa.int64()),
+                "cluster_id": pa.array([comp[n] for n in out_nodes], pa.int64()),
+            }
+        )
+    )
+
+
+def kiraly_clustering(
+    pairs: ray.data.Dataset, threshold: float = 0.1
+) -> ray.data.Dataset:
+    """Kiraly MSM approximate clustering (reference clustering.py:1173-1341,
+    CCER-only). Candidate edges start ACTIVE (:109), so the reference's
+    single free-men pass reduces to: each D1 entity ("man", id1 side), in
+    ascending id order, proposes once to its best candidate (similarity
+    desc, id2 asc — the reference's tie order is insertion-dependent; we pin
+    a total order, SURVEY.md §7); a D2 entity accepts when free or when the
+    new suitor's similarity is STRICTLY higher (:1322-1341), leaving the
+    jilted man unmatched (the reference never re-queues him, :1246-1262).
+    Matched pairs' connected components are the clusters."""
+    best: dict[int, list[tuple[float, int]]] = {}
+    woman_scores: dict[tuple[int, int], float] = {}
+    for w, a, b in _sorted_edges(pairs):
+        if w <= threshold:
+            continue
+        best.setdefault(a, []).append((w, b))
+        woman_scores[(b, a)] = w
+    fiance: dict[int, int] = {}
+    for man in sorted(best):
+        cands = sorted(best[man], key=lambda t: (-t[0], t[1]))
+        woman = cands[0][1]
+        cur = fiance.get(woman)
+        if cur is None or woman_scores[(woman, man)] > woman_scores[(woman, cur)]:
+            fiance[woman] = man
+    uf = UnionFind()
+    for woman, man in fiance.items():
+        uf.union(man, woman)
+    comp = uf.components()
+    out_nodes = sorted(comp)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(out_nodes, pa.int64()),
+                "cluster_id": pa.array([comp[n] for n in out_nodes], pa.int64()),
+            }
+        )
+    )
+
+
 def center_clustering(
     pairs: ray.data.Dataset, threshold: float = 0.1
 ) -> ray.data.Dataset:

@@ -1,0 +1,91 @@
+"""Serial-greedy + Markov/Kiraly clustering methods (reference
+src/pyjedai/clustering.py:477-1341 semantics on small deterministic graphs)."""
+
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _wpairs(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id1": pa.array([r[0] for r in rows], pa.int64()),
+                "id2": pa.array([r[1] for r in rows], pa.int64()),
+                "weight": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def _as_map(ds):
+    return {r["doc_id"]: r["cluster_id"] for r in ds.take_all()}
+
+
+def test_markov_clustering_splits_weak_bridge():
+    from pyjedai_ray.stages.clustering import markov_clustering
+
+    # two triangles joined by a weak bridge: MCL must cut the bridge
+    pairs = _wpairs(
+        [(1, 2, 0.9), (1, 3, 0.9), (2, 3, 0.9),
+         (4, 5, 0.9), (4, 6, 0.9), (5, 6, 0.9), (3, 4, 0.55)]
+    )
+    out = _as_map(markov_clustering(pairs, threshold=0.5))
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_markov_clustering_threshold_strict():
+    from pyjedai_ray.stages.clustering import markov_clustering
+
+    # edge exactly AT threshold is excluded (reference :1096 strict >)
+    pairs = _wpairs([(1, 2, 0.5)])
+    assert _as_map(markov_clustering(pairs, threshold=0.5)) == {}
+
+
+def test_kiraly_strict_stealing():
+    from pyjedai_ray.stages.clustering import kiraly_clustering
+
+    # men 2,4 (even) both prefer woman 11; man 4 has strictly higher
+    # similarity, so he steals her; man 2 stays unmatched (never re-queued,
+    # reference :1246-1262)
+    pairs = _wpairs([(2, 11, 0.6), (4, 11, 0.8), (2, 13, 0.5)])
+    out = _as_map(kiraly_clustering(pairs, threshold=0.1))
+    assert out == {4: 4, 11: 4}
+
+
+def test_kiraly_tie_keeps_earlier_man():
+    from pyjedai_ray.stages.clustering import kiraly_clustering
+
+    # equal similarity: acceptance requires STRICT improvement, so the
+    # earlier (smaller-id) man keeps the match
+    pairs = _wpairs([(2, 11, 0.7), (4, 11, 0.7)])
+    out = _as_map(kiraly_clustering(pairs, threshold=0.1))
+    assert out == {2: 2, 11: 2}
+
+
+def test_center_clustering_degree_normalized():
+    from pyjedai_ray.stages.clustering import center_clustering
+
+    # node 1 has the higher raw weight-SUM (two edges) but node 2 the higher
+    # degree-NORMALIZED weight; reference picks centers by sum/degree
+    # (clustering.py:619-621), so 2 must be the center of (1,2)
+    pairs = _wpairs([(1, 2, 0.9), (1, 3, 0.1), (2, 4, 0.85)])
+    out = _as_map(center_clustering(pairs, threshold=0.05))
+    # scan order: (1,2,.9) first: norm(1)=(0.9+0.1)/2=0.5 < norm(2)=(0.9+0.85)/2
+    # -> 2 center, 1 member; then (2,4): 2 is center -> 4 member; (1,3): 1 is
+    # member, 3 free -> skipped
+    assert out == {1: 2, 2: 2, 4: 2}
+
+
+def test_merge_center_transitive_merge():
+    from pyjedai_ray.stages.clustering import merge_center_clustering
+
+    # (1,2,.9): 1 center, 2 member. (3,4,.8): 3 center, 4 member.
+    # (3,2,.7): 3 is center, 2 already member of 1 -> edge still lands in the
+    # output graph (reference :770-776), merging both clusters
+    pairs = _wpairs([(1, 2, 0.9), (3, 4, 0.8), (2, 3, 0.7)])
+    out = _as_map(merge_center_clustering(pairs, threshold=0.1))
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1}
