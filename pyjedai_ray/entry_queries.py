@@ -1283,6 +1283,17 @@ def oracle_sql():
             SELECT id1, id2, weight FROM fo WHERE rn = 1
             ORDER BY blk, avg DESC, id1, pos LIMIT 40
         """,
+        "best_match_pairs": "WITH " + SQL_SHINGLE_PAIRS + """,
+            w AS (
+              SELECT id1, id2, CAST(cbs AS DOUBLE) / (a.bpe + b.bpe - cbs) AS weight
+              FROM pairs JOIN bpe a ON a.doc_id = id1 JOIN bpe b ON b.doc_id = id2
+            )
+            SELECT id1, id2, weight FROM (
+              SELECT id1, id2, weight,
+                     row_number() OVER (PARTITION BY id1 ORDER BY weight DESC, id2) AS rn
+              FROM w WHERE weight > 0.05
+            ) WHERE rn = 1
+        """,
         "kiraly_clusters": "WITH " + SQL_SHINGLE_PAIRS + """,
             w AS (
               SELECT id1 AS man, id2 AS woman,

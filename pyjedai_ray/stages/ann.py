@@ -27,11 +27,47 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .exchange import ensure_context, stamp_schema
+from .exchange import effective_partitions, ensure_context, stamp_schema
 
 KNN_SCHEMA = pa.schema(
     [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("score", pa.float64()), ("rank", pa.int32())]
 )
+
+
+def _reduce_global_topk(partials: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Per-query global top-k over local-top-k partials: keyed repartition on
+    query_id + ONE vectorized sort/run-scan per partition (the
+    blocking._emit_pairs_partition pattern) — no per-group pandas UDF, which
+    collapses when the query count is corpus-sized."""
+    import pyarrow.compute as pc
+
+    ensure_context(partials)
+    parts = partials.repartition(effective_partitions(32), keys=["query_id"])
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "query_id" not in batch.column_names:
+            return KNN_SCHEMA.empty_table()
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[
+                ("query_id", "ascending"),
+                ("score", "descending"),
+                ("neighbor_id", "ascending"),
+            ],
+        )
+        t = batch.take(idx)
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        n = len(q)
+        starts = np.concatenate([[0], np.flatnonzero(q[1:] != q[:-1]) + 1])
+        lengths = np.diff(np.concatenate([starts, [n]]))
+        pos = np.arange(n) - np.repeat(starts, lengths)
+        keep = pos < k
+        t = t.select(["query_id", "neighbor_id", "score"]).filter(pa.array(keep))
+        return t.append_column("rank", pa.array((pos[keep] + 1).astype(np.int32), pa.int32()))
+
+    return stamp_schema(
+        parts.map_batches(_topk, batch_format="pyarrow", batch_size=None), KNN_SCHEMA
+    )
 PAIR_SCHEMA = pa.schema([("id1", pa.int64()), ("id2", pa.int64()), ("score", pa.float64())])
 
 
@@ -106,17 +142,7 @@ def knn_brute_force(
         )
 
     partials = embeddings.map_batches(_local_topk, batch_format="pyarrow")
-
-    import pandas as pd
-
-    def _global_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
-        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int32))
-        return df
-
-    ensure_context()
-    out = partials.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
-    return stamp_schema(out, KNN_SCHEMA)
+    return _reduce_global_topk(partials, k)
 
 
 def embedding_neardup(
@@ -221,14 +247,4 @@ def ivf_knn(
         )
 
     partials = embeddings.map_batches(_local, batch_format="pyarrow")
-
-    import pandas as pd
-
-    def _global_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
-        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int32))
-        return df
-
-    ensure_context()
-    out = partials.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
-    return stamp_schema(out, KNN_SCHEMA)
+    return _reduce_global_topk(partials, k)

@@ -131,10 +131,11 @@ def best_match_clustering(
     pairs: ray.data.Dataset, threshold: float = 0.1
 ) -> ray.data.Dataset:
     """Best candidate per source entity (clustering.py:641-727): for each id1
-    keep its max-weight edge (deterministic tie-break id2 asc)."""
+    keep its max-weight edge (deterministic tie-break id2 asc). Strict
+    ``weight > threshold`` admission (reference :695)."""
     best: dict[int, tuple[float, int]] = {}
     for w, a, b in _sorted_edges(pairs):
-        if w < threshold:
+        if w <= threshold:
             continue
         if a not in best:
             best[a] = (w, b)

@@ -550,6 +550,8 @@ def emit_directed(
     import pyarrow.compute as _pc
 
     strategy = strategy.upper()
+    if strategy not in ("DFS", "BFS", "HB"):
+        raise ValueError(f"unknown emission strategy {strategy}")
     from .exchange import effective_partitions as _ep
 
     ann_schema = pa.schema(
@@ -649,3 +651,47 @@ def emit_directed(
         .limit(budget)
         .select_columns(["id1", "id2", "weight"])
     )
+
+
+def progressive_entity_scheduling(
+    weighted: ray.data.Dataset,
+    budget: int,
+    method: str = "HB",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """PES / PESM (comparison_cleaning.py:984-1086 + prioritization.py:986-
+    1088): per-entity weighted neighborhoods handed to the DatasetScheduler
+    emission order. In columnar form that IS ``progressive_emit`` — the
+    neighborhoods are the directed pair rows, the scheduler order is the
+    deterministic sort plan, dedup is the canonical first-occurrence rule."""
+    return progressive_emit(weighted, budget, strategy=method, num_partitions=num_partitions)
+
+
+def emit_bilateral(
+    directed: ray.data.Dataset,
+    budget: int,
+    strategy: str = "HB",
+    num_partitions: int = 32,
+    avg_round: int | None = None,
+) -> ray.data.Dataset:
+    """Bilateral indexing (reference utils.py:700-817 + workflow ``indexing=
+    'bilateral'``): the reference runs the whole matcher twice — once with D1
+    entities as neighborhood centers ("inorder"), once re-indexed with D2 as
+    centers ("reverse") — and keeps the best score per pair. Columnar form:
+    union the two orientations of the directed neighborhoods and emit; the
+    canonical first-occurrence rule keeps each pair's earlier (best-ordered)
+    orientation, no re-run needed."""
+
+    def _swap(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "id1" not in batch.column_names:
+            return pa.schema(
+                [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+            ).empty_table()
+        return pa.table(
+            {"id1": batch["id2"], "id2": batch["id1"], "weight": batch["weight"]}
+        )
+
+    both = directed.select_columns(["id1", "id2", "weight"]).union(
+        directed.map_batches(_swap, batch_format="pyarrow")
+    )
+    return emit_directed(both, budget, strategy, num_partitions, avg_round=avg_round)

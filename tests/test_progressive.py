@@ -1,0 +1,70 @@
+"""Progressive emission: bilateral indexing + kNN-neighborhood (NN-BPM)
+emission orders over tiny deterministic graphs."""
+
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _directed(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id1": pa.array([r[0] for r in rows], pa.int64()),
+                "id2": pa.array([r[1] for r in rows], pa.int64()),
+                "weight": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def test_emit_bilateral_dedups_orientations():
+    from pyjedai_ray.stages.meta_blocking import emit_bilateral
+
+    # pair (1,2) present in both orientations must emit ONCE; budget large
+    directed = _directed([(1, 2, 0.9), (2, 1, 0.9), (2, 3, 0.8)])
+    out = emit_bilateral(directed, budget=10, strategy="HB", num_partitions=2)
+    rows = sorted((r["id1"], r["id2"]) for r in out.take_all())
+    # canonical-pair dedup: exactly {1-2 (one orientation), 2-3, 3-2 swap}
+    pairs = {tuple(sorted(p)) for p in rows}
+    assert pairs == {(1, 2), (2, 3)}
+    assert len(rows) == 2
+
+
+def test_nn_progressive_emit_top_vs_hb():
+    import ray.data
+
+    from pyjedai_ray.stages.encoding import nn_progressive_emit
+
+    knn = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([1, 1, 2, 2], pa.int64()),
+                "neighbor_id": pa.array([2, 3, 1, 3], pa.int64()),
+                "score": pa.array([0.9, 0.2, 0.9, 0.8], pa.float64()),
+                "rank": pa.array([1, 2, 1, 2], pa.int32()),
+            }
+        )
+    )
+    top = nn_progressive_emit(knn, budget=2, strategy="TOP", num_partitions=2)
+    tp = {tuple(sorted((r["id1"], r["id2"]))) for r in top.take_all()}
+    # TOP: (1,2)@0.9 once (canonical max), then (2,3)@0.8
+    assert tp == {(1, 2), (2, 3)}
+
+    hb = nn_progressive_emit(knn, budget=3, strategy="HB", num_partitions=2)
+    hp = {tuple(sorted((r["id1"], r["id2"]))) for r in hb.take_all()}
+    # neighborhood 2 (avg 0.85) outranks 1 (avg 0.55); first pops (2,1),(1,2)
+    # dedup to one pair, then remaining (2,3),(1,3)
+    assert (1, 2) in hp and (2, 3) in hp
+    assert len(hp) == 3
+
+
+def test_progressive_entity_scheduling_alias():
+    from pyjedai_ray.stages.meta_blocking import progressive_entity_scheduling
+
+    w = _directed([(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0)])
+    out = progressive_entity_scheduling(w, budget=2, method="DFS", num_partitions=2)
+    assert out.count() == 2
