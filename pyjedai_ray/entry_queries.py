@@ -664,6 +664,44 @@ def q_markov_clusters(sf_dir: str):
     )
 
 
+def q_correlation_clusters(sf_dir: str):
+    # rows-only: seeded randomized local search is not SQL-expressible
+    w, _, _ = _weighted(sf_dir, "JS")
+    return clustering.correlation_clustering(
+        w.select_columns(["id1", "id2", "weight"]), initial_threshold=0.1,
+        similarity_threshold=0.3, non_similarity_threshold=0.05,
+        lsi_iterations=50,
+    )
+
+
+def q_ricochet_clusters(sf_dir: str):
+    # rows-only: order-dependent sequential rippling
+    w, _, _ = _weighted(sf_dir, "JS")
+    return clustering.ricochet_sr_clustering(
+        w.select_columns(["id1", "id2", "weight"]), threshold=0.05
+    )
+
+
+def q_row_column_clusters(sf_dir: str):
+    # rows-only: sequential greedy covering scans; bipartite (even/odd) slice
+    # for the CCER row/column shape (like kiraly_clusters)
+    w, _, _ = _weighted(sf_dir, "JS")
+    w = w.select_columns(["id1", "id2", "weight"])
+
+    def _bip(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "id1" not in batch.column_names:
+            return pa.schema(
+                [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+            ).empty_table()
+        a = batch["id1"].to_numpy(zero_copy_only=False)
+        b = batch["id2"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((a % 2 == 0) & (b % 2 == 1)))
+
+    return clustering.row_column_clustering(
+        w.map_batches(_bip, batch_format="pyarrow"), threshold=0.05
+    )
+
+
 def q_extended_qgram_blocking(sf_dir: str):
     # rows-only: the >= ceil(0.95*L) q-gram combination expansion
     # (block_building.py:714-773) is combinatorial — not worth oracle SQL
@@ -822,6 +860,9 @@ def queries():
         "center_clusters": q_center_clusters,
         "merge_center_clusters": q_merge_center_clusters,
         "markov_clusters": q_markov_clusters,
+        "correlation_clusters": q_correlation_clusters,
+        "ricochet_clusters": q_ricochet_clusters,
+        "row_column_clusters": q_row_column_clusters,
         "best_match_pairs": q_best_match_pairs,
         "unique_mapping_pairs": q_unique_mapping_pairs,
         "random_sample_pairs": q_random_sample_pairs,

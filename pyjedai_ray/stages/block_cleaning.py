@@ -111,7 +111,10 @@ def block_filtering(
     drop blocks left with < 2 entities. Two groupby shuffles + one join."""
     ensure_context()
     eschema = edges.schema().base_schema
-    sized = _with_cardinality(block_sizes(edges))
+    # materialize the (small, per-distinct-key) size table so its groupby
+    # exchange completes before the join exchange starts — concurrent
+    # hash-shuffle operators starve each other (joins._with_similarity)
+    sized = _with_cardinality(block_sizes(edges)).materialize()
     annotated = hash_join(
         edges,
         sized.select_columns(["key", "cardinality"]),
@@ -161,7 +164,7 @@ def block_filtering(
         )
 
     kept = per_doc.map_batches(_cut, batch_format="pyarrow").materialize()
-    sizes2 = block_sizes(kept)
+    sizes2 = block_sizes(kept).materialize()  # barrier before the join exchange
     keep_keys = sizes2.filter(expr="block_size >= 2").select_columns(["key"])
     return hash_join(
         kept, keep_keys, on=("key",), num_partitions=num_partitions,

@@ -96,7 +96,7 @@ def blocks_with_sizes(
     [min_size, max_size] — drop_single_entity_blocks / max-block-size
     semantics (src/pyjedai/utils.py:85-122)."""
     eschema = edges.schema().base_schema
-    sizes = block_sizes(edges)
+    sizes = block_sizes(edges).materialize()  # barrier before the join exchange
     keep = sizes.filter(expr=f"block_size >= {min_size}")
     if max_size is not None:
         keep = keep.filter(expr=f"block_size <= {max_size}")

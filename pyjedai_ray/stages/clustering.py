@@ -194,6 +194,135 @@ def merge_center_clustering(
     )
 
 
+def correlation_clustering(
+    pairs: ray.data.Dataset,
+    initial_threshold: float = 0.5,
+    similarity_threshold: float = 0.8,
+    non_similarity_threshold: float = 0.2,
+    move_limit: int = 3,
+    lsi_iterations: int = 100,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Correlation clustering (reference clustering.py:793-1005): connected
+    components of edges >= initial_threshold seed the clusters, then a seeded
+    local search applies random moves (reassign entity / merge clusters /
+    split cluster), keeping a move iff the objective strictly improves. The
+    objective counts similar pairs (> similarity_threshold) placed together
+    plus dissimilar pairs (< non_similarity_threshold) placed apart.
+
+    Documented divergences (the algorithm is the spec, SURVEY.md §7): the
+    entity universe is the nodes OBSERVED in the pair graph — the reference
+    ranges over the full id space, where never-seen entities silently share
+    cluster slot 0 (an indexing artifact); the objective is one vectorized
+    numpy pass over all observed-node pairs instead of a dense double loop;
+    the rng is seeded but its draw sequence is not call-for-call identical
+    to the reference's (whose tie order is dict/set-iteration dependent).
+    Driver-side over the post-verification graph, like the other serial
+    methods (module docstring)."""
+    import random as _random
+
+    edges = _sorted_edges(pairs)
+    nodes = sorted({n for _, a, b in edges for n in (a, b)})
+    if not nodes:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        )
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    sim = np.zeros((n, n), dtype=np.float64)
+    uf = UnionFind()
+    for node in nodes:
+        uf.find(node)
+    for w, a, b in edges:
+        sim[idx[a], idx[b]] = sim[idx[b], idx[a]] = w
+        if w >= initial_threshold:
+            uf.union(a, b)
+
+    iu, ju = np.triu_indices(n, k=1)
+    s = sim[iu, ju]
+    similar = s > similarity_threshold
+    not_similar = s < non_similarity_threshold
+
+    comp = uf.components()
+    comp_labels = sorted({comp[nd] for nd in nodes})
+    label_of_comp = {c: i for i, c in enumerate(comp_labels)}
+    labels = np.array([label_of_comp[comp[nd]] for nd in nodes], dtype=np.int64)
+    members: list[set[int]] = [set() for _ in comp_labels]
+    for i, lb in enumerate(labels):
+        members[lb].add(i)
+    next_label = len(members)
+
+    def objective(lab: np.ndarray) -> int:
+        same = lab[iu] == lab[ju]
+        return int(np.count_nonzero(similar & same) + np.count_nonzero(not_similar & ~same))
+
+    rng = _random.Random(seed)
+    nonempty = lambda: [i for i, m in enumerate(members) if m]
+    of = objective(labels)
+    for _ in range(lsi_iterations):
+        move = rng.randint(0, move_limit - 1)
+        live = nonempty()
+        while move == 1 and len(live) < 2:
+            move = rng.randint(0, move_limit - 1)
+        if move == 0:  # reassign a random entity to a random live cluster
+            ent = rng.randrange(n)
+            dst = live[rng.randrange(len(live))]
+            src = int(labels[ent])
+            if dst == src:
+                continue
+            labels[ent] = dst
+            new_of = objective(labels)
+            if new_of > of:
+                members[src].discard(ent)
+                members[dst].add(ent)
+                of = new_of
+            else:
+                labels[ent] = src
+        elif move == 1:  # merge two random clusters
+            a_i = live[rng.randrange(len(live))]
+            b_i = live[rng.randrange(len(live))]
+            while b_i == a_i:
+                b_i = live[rng.randrange(len(live))]
+            moved = list(members[a_i])
+            labels[moved] = b_i
+            new_of = objective(labels)
+            if new_of > of:
+                members[b_i] |= members[a_i]
+                members[a_i] = set()
+                of = new_of
+            else:
+                labels[moved] = a_i
+        else:  # split: every 2nd member (sorted order) to a new cluster
+            src = live[rng.randrange(len(live))]
+            half = sorted(members[src])[::2]
+            if not half:
+                continue
+            labels[half] = next_label
+            new_of = objective(labels)
+            if new_of > of:
+                members.append(set(half))
+                members[src] -= set(half)
+                next_label += 1
+                of = new_of
+            else:
+                labels[half] = src
+
+    # cluster_id = min doc_id of the cluster (engine-wide convention)
+    min_id: dict[int, int] = {}
+    for i, lb in enumerate(labels):
+        nid = nodes[i]
+        if lb not in min_id or nid < min_id[lb]:
+            min_id[lb] = nid
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes, pa.int64()),
+                "cluster_id": pa.array([min_id[int(lb)] for lb in labels], pa.int64()),
+            }
+        )
+    )
+
+
 def markov_clustering(
     pairs: ray.data.Dataset,
     threshold: float = 0.5,
@@ -296,6 +425,212 @@ def kiraly_clustering(
             {
                 "doc_id": pa.array(out_nodes, pa.int64()),
                 "cluster_id": pa.array([comp[n] for n in out_nodes], pa.int64()),
+            }
+        )
+    )
+
+
+def ricochet_sr_clustering(
+    pairs: ray.data.Dataset, threshold: float = 0.5
+) -> ray.data.Dataset:
+    """Ricochet Sequential Rippling clustering (reference clustering.py:
+    1343-1490, CCER-only). Vertices are visited in descending average edge
+    weight; the first becomes a center with one seed member, and each later
+    vertex becomes a new center when its best not-yet-better-served neighbor
+    would prefer it (strictly higher similarity than its current
+    center-similarity, default 0), stealing that neighbor and itself from
+    their clusters; centers left alone are re-homed to the best available
+    near-empty center (reference :1449-1470, replicated quirks included).
+
+    Pinned total orders (the reference's depend on dict/heap insertion,
+    SURVEY.md §7): vertex order (avg weight desc, id asc); within-vertex
+    neighbor order (similarity desc, id asc). Output covers observed nodes
+    only; cluster_id = min member id. Driver-side over the small
+    post-verification graph (module docstring); admission strict
+    ``weight > threshold`` (reference :1376)."""
+    adj: dict[int, dict[int, float]] = {}
+    for w, a, b in _sorted_edges(pairs):
+        if w <= threshold:
+            continue
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+    if not adj:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        )
+    order = sorted(
+        adj, key=lambda v: (-(sum(adj[v].values()) / len(adj[v])), v)
+    )
+
+    def neighbors_of(v: int) -> list[tuple[int, float]]:
+        return sorted(adj[v].items(), key=lambda kv: (-kv[1], kv[0]))
+
+    centers: set[int] = set()
+    members: set[int] = set()
+    center_of: dict[int, int] = {}
+    sim_with_center: dict[int, float] = {}
+    clusters: dict[int, set[int]] = {}
+
+    first = order[0]
+    centers.add(first)
+    center_of[first] = first
+    clusters[first] = {first}
+    sim_with_center[first] = 1.0
+    seed_nb = neighbors_of(first)[0][0]
+    members.add(seed_nb)
+    center_of[seed_nb] = first
+    clusters[first].add(seed_nb)
+    sim_with_center[seed_nb] = adj[first][seed_nb]
+
+    for v in order[1:]:
+        to_reassign: set[int] = set()
+        centers_to_reassign: set[int] = set()
+        for nb, sim in neighbors_of(v):
+            if nb in centers:
+                continue
+            if sim_with_center.get(nb, 0.0) >= sim:
+                continue
+            to_reassign.add(nb)
+            break
+        if to_reassign:
+            if v in members:
+                members.remove(v)
+                prev = center_of[v]
+                clusters[prev].discard(v)
+                if len(clusters[prev]) < 2:
+                    centers_to_reassign.add(prev)
+            to_reassign.add(v)
+            clusters.setdefault(v, set()).update(to_reassign)
+            centers.add(v)
+        for r in to_reassign:
+            if r == v:
+                continue
+            if r in members:
+                prev = center_of[r]
+                clusters[prev].discard(r)
+                if len(clusters[prev]) < 2:
+                    centers_to_reassign.add(prev)
+            members.add(r)
+            center_of[r] = v
+            sim_with_center[r] = adj[v][r]
+        for c in sorted(centers_to_reassign):
+            if len(clusters.get(c, ())) > 1:
+                continue
+            centers.discard(c)
+            clusters.pop(c, None)
+            max_sim, new_center = 0.0, v
+            for center in sorted(centers):
+                new_sim = adj[center].get(c, 0.0)
+                if new_sim > 0.0:
+                    if len(clusters.get(center, ())) > 1:
+                        continue
+                    if new_sim > max_sim:
+                        max_sim, new_center = new_sim, center
+            if len(clusters.get(new_center, ())) > 1:
+                continue
+            clusters.setdefault(new_center, set()).add(c)
+            members.add(c)
+            center_of[c] = new_center
+            sim_with_center[c] = max_sim
+
+    rows_n, rows_c = [], []
+    for _center, mset in clusters.items():
+        cid = min(mset)
+        for m in sorted(mset):
+            rows_n.append(m)
+            rows_c.append(cid)
+    order_idx = np.argsort(np.array(rows_n))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.array(rows_n, dtype=np.int64)[order_idx]),
+                "cluster_id": pa.array(np.array(rows_c, dtype=np.int64)[order_idx]),
+            }
+        )
+    )
+
+
+def row_column_clustering(
+    pairs: ray.data.Dataset, threshold: float = 0.5
+) -> ray.data.Dataset:
+    """Row-Column clustering (reference clustering.py:1493-1633, CCER-only):
+    greedy min-cost assignment in the (1 - similarity) matrix — scan rows
+    picking each row's cheapest uncovered column, scan columns picking each
+    column's cheapest uncovered row, keep whichever full scan was cheaper —
+    then emit the assignment's pairs above the similarity threshold with a
+    first-come dedup.
+
+    Documented divergences: the matrix spans OBSERVED nodes (the reference
+    allocates the full n1 x n2 id space; absent pairs cost 1.0 either way);
+    the final filter keeps pairs with intended ``similarity > threshold`` —
+    the reference reads ``self.similarity`` AFTER overwriting it with the
+    negated matrix (:1539 via :1624), silently inverting its own test."""
+    sim: dict[tuple[int, int], float] = {}
+    rows_set: set[int] = set()
+    cols_set: set[int] = set()
+    for w, a, b in _sorted_edges(pairs):
+        if w > threshold:
+            sim[(a, b)] = w
+        rows_set.add(a)
+        cols_set.add(b)
+    rows = sorted(rows_set)
+    cols = sorted(cols_set)
+    if not rows or not cols:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        )
+    neg = np.ones((len(rows), len(cols)), dtype=np.float64)
+    ridx = {r: i for i, r in enumerate(rows)}
+    cidx = {c: j for j, c in enumerate(cols)}
+    for (a, b), w in sim.items():
+        neg[ridx[a], cidx[b]] = 1.0 - w
+
+    def _scan(mat: np.ndarray) -> tuple[list[int], float]:
+        """Greedy per-row cheapest uncovered column (ties -> lowest index)."""
+        covered = np.zeros(mat.shape[1], dtype=bool)
+        sel = [-1] * mat.shape[0]
+        cost = 0.0
+        for i in range(mat.shape[0]):
+            open_cols = np.flatnonzero(~covered)
+            if open_cols.size == 0:
+                break
+            j = open_cols[int(np.argmin(mat[i, open_cols]))]
+            sel[i] = int(j)
+            covered[j] = True
+            cost += mat[i, j]
+        return sel, cost
+
+    row_sel, row_cost = _scan(neg)
+    col_sel, col_cost = _scan(neg.T)  # per-column cheapest uncovered row
+    if row_cost < col_cost:
+        assignment = {i: j for i, j in enumerate(row_sel) if j >= 0}
+    else:
+        assignment = {i: j for j, i in enumerate(col_sel) if i >= 0}
+
+    matched: set[int] = set()
+    out1, out2 = [], []
+    for i in sorted(assignment):
+        a, b = rows[i], cols[assignment[i]]
+        w = sim.get((a, b))
+        if w is None:  # at/below threshold
+            continue
+        if a in matched or b in matched:
+            continue
+        matched.add(a)
+        matched.add(b)
+        out1.append(a)
+        out2.append(b)
+    rows_n, rows_c = [], []
+    for a, b in zip(out1, out2):
+        cid = min(a, b)
+        rows_n.extend([a, b])
+        rows_c.extend([cid, cid])
+    order = np.argsort(np.array(rows_n)) if rows_n else np.array([], dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.array(rows_n, dtype=np.int64)[order]),
+                "cluster_id": pa.array(np.array(rows_c, dtype=np.int64)[order]),
             }
         )
     )

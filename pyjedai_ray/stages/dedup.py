@@ -247,10 +247,10 @@ def substring_overlap_dedup(
     i64 = pa.int64()
     ids_schema = pa.schema([("id1", i64), ("id2", i64)])
     joined = hash_join(
-        cands.select_columns(["id1", "id2"]), left, on=("id1",),
+        cands.select_columns(["id1", "id2"]).materialize(), left, on=("id1",),
         num_partitions=num_partitions, left_schema=ids_schema,
         right_schema=pa.schema([("id1", i64), ("w1", pa.binary())]),
-    )
+    ).materialize()  # barrier: see joins._with_similarity
     joined = hash_join(
         joined, right, on=("id2",), num_partitions=num_partitions,
         left_schema=pa.schema([("id1", i64), ("id2", i64), ("w1", pa.binary())]),

@@ -49,10 +49,12 @@ def join_signatures(
         return hash_join(out, right, on=("id2",), num_partitions=num_partitions)
     lschema = renamed(sschema, {"doc_id": "id1", **{c: f"{c}_1" for c in columns}})
     rschema = renamed(sschema, {"doc_id": "id2", **{c: f"{c}_2" for c in columns}})
+    # barrier between the two joins: concurrent hash-shuffle exchanges
+    # oversubscribe the aggregator actor pools (see joins._with_similarity)
     out = hash_join(
         pairs, left, on=("id1",), num_partitions=num_partitions,
         left_schema=pschema, right_schema=lschema,
-    )
+    ).materialize()
     mid = appended(pschema, [(f.name, f.type) for f in lschema if f.name != "id1"])
     return hash_join(
         out, right, on=("id2",), num_partitions=num_partitions,
@@ -446,17 +448,21 @@ def verify_pairs_tfidf(
     num_schema = pa.schema(
         [("id1", pa.int64()), ("id2", pa.int64()), ("num", pa.float64())]
     )
+    # barriers between the joins: the nums pipeline is itself two shuffles;
+    # streaming everything makes 5 exchanges run concurrently and starve
+    # each other's aggregator pools (see joins._with_similarity)
+    nums = nums.materialize()
     joined = hash_join(
         pairs.select_columns(["id1", "id2"]), nums, on=("id1", "id2"),
         num_partitions=num_partitions, join_type="left outer",
         left_schema=ids_schema, right_schema=num_schema,
-    )
+    ).materialize()
     joined = hash_join(
         joined, norms.rename_columns({"doc_id": "id1", "norm2": "n1"}),
         on=("id1",), num_partitions=num_partitions, join_type="left outer",
         left_schema=num_schema,
         right_schema=pa.schema([("id1", pa.int64()), ("n1", pa.float64())]),
-    )
+    ).materialize()
     joined = hash_join(
         joined, norms.rename_columns({"doc_id": "id2", "norm2": "n2"}),
         on=("id2",), num_partitions=num_partitions, join_type="left outer",

@@ -92,11 +92,13 @@ def weighted_pairs(
     def _attach(p, pschema, stats, src_cols, out_cols):
         for key, (src, dst) in zip(("id1", "id2"), zip(src_cols, out_cols)):
             rhs_schema = pa.schema([(key, i64), (dst, i64)])
+            # materialize between joins — concurrent shuffle exchanges
+            # starve each other (see joins._with_similarity)
             p = hash_join(
                 p, stats.rename_columns({"doc_id": key, src: dst}), on=(key,),
                 num_partitions=num_partitions,
                 left_schema=pschema, right_schema=rhs_schema,
-            )
+            ).materialize()
             pschema = appended(pschema, [(dst, i64)]) if pschema else None
         return p, pschema
 
@@ -261,7 +263,7 @@ def _join_node_stats(
         weighted, stats.rename_columns({"node": "id1", "stat": s1}), on=("id1",),
         num_partitions=num_partitions, left_schema=wschema,
         right_schema=pa.schema([("id1", pa.int64()), (s1, f64)]),
-    )
+    ).materialize()  # barrier: see joins._with_similarity
     p = hash_join(
         p, stats.rename_columns({"node": "id2", "stat": s2}), on=("id2",),
         num_partitions=num_partitions,

@@ -66,6 +66,68 @@ def test_kiraly_tie_keeps_earlier_man():
     assert out == {2: 2, 11: 2}
 
 
+def test_correlation_clustering_improves_objective():
+    from pyjedai_ray.stages.clustering import correlation_clustering
+
+    # two tight groups seeded as ONE component via a mid-weight bridge
+    # (>= initial 0.5 but < similarity 0.8 and > non-similarity 0.2);
+    # the local search must keep similar pairs together
+    pairs = _wpairs(
+        [(1, 2, 0.9), (1, 3, 0.9), (2, 3, 0.9),
+         (4, 5, 0.9), (4, 6, 0.9), (5, 6, 0.9), (3, 4, 0.6)]
+    )
+    out = _as_map(correlation_clustering(pairs, lsi_iterations=200))
+    # similar pairs must share a cluster (the search never accepts a move
+    # that lowers the objective, and the seed clustering already satisfies it)
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+
+
+def test_correlation_clustering_deterministic():
+    from pyjedai_ray.stages.clustering import correlation_clustering
+
+    pairs = _wpairs([(1, 2, 0.9), (3, 4, 0.1), (2, 3, 0.6)])
+    a = _as_map(correlation_clustering(pairs, seed=7))
+    b = _as_map(correlation_clustering(pairs, seed=7))
+    assert a == b
+
+
+def test_ricochet_sr_basic():
+    from pyjedai_ray.stages.clustering import ricochet_sr_clustering
+
+    # two pairs with a weak cross-edge: highest-avg vertex seeds first
+    pairs = _wpairs([(1, 2, 0.9), (3, 4, 0.8), (2, 3, 0.55)])
+    out = ricochet_sr_clustering(pairs, threshold=0.5)
+    rows = out.take_all()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # no node in two clusters
+    m = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert m[1] == m[2]  # strongest pair stays together
+    assert set(m) == {1, 2, 3, 4}
+
+
+def test_ricochet_sr_empty_and_threshold():
+    from pyjedai_ray.stages.clustering import ricochet_sr_clustering
+
+    assert ricochet_sr_clustering(_wpairs([(1, 2, 0.5)]), threshold=0.5).count() == 0
+
+
+def test_row_column_matches_best_pairs():
+    from pyjedai_ray.stages.clustering import row_column_clustering
+
+    # bipartite: rows {1,3}, cols {10,12}; best assignment pairs 1-10, 3-12
+    pairs = _wpairs([(1, 10, 0.9), (1, 12, 0.6), (3, 10, 0.55), (3, 12, 0.8)])
+    out = _as_map(row_column_clustering(pairs, threshold=0.5))
+    assert out == {1: 1, 10: 1, 3: 3, 12: 3}
+
+
+def test_row_column_threshold_filters():
+    from pyjedai_ray.stages.clustering import row_column_clustering
+
+    pairs = _wpairs([(1, 10, 0.4)])
+    assert row_column_clustering(pairs, threshold=0.5).count() == 0
+
+
 def test_center_clustering_degree_normalized():
     from pyjedai_ray.stages.clustering import center_clustering
 

@@ -62,6 +62,16 @@ def test_nn_progressive_emit_top_vs_hb():
     assert len(hp) == 3
 
 
+def test_progressive_recall_curve():
+    from pyjedai_ray.stages.evaluate import progressive_recall_curve
+
+    emitted = [(0.9, 1, 2), (0.8, 3, 4), (0.7, 5, 6), (0.6, 8, 7)]
+    gt = {(1, 2), (7, 8)}
+    curve = progressive_recall_curve(emitted, gt)
+    # pair order canonicalizes: (8,7) matches gt (7,8) at emission 4
+    assert curve == [(1, 0.5), (2, 0.5), (3, 0.5), (4, 1.0)]
+
+
 def test_progressive_entity_scheduling_alias():
     from pyjedai_ray.stages.meta_blocking import progressive_entity_scheduling
 
