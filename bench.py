@@ -25,11 +25,10 @@ EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "4"))  # corpus multiplier
 # scaling runs need a corpus big enough that parallel compute dominates the
 # fixed shuffle setup cost; default higher unless explicitly overridden
 SCALING_EXPAND = int(os.environ.get("GRAFT_BENCH_EXPAND", "512"))
-# the default (driver) invocation ALSO reports scaling efficiency. 2.56M docs
-# (expand=512): smaller corpora sit in the broadcast->join verify crossover
-# where the 8-cpu level is disproportionately penalized (measured eff 0.73 at
-# 1.28M vs 0.94 at 2.56M) — the larger corpus is the honest scale signal
-INLINE_SCALING_EXPAND = int(os.environ.get("GRAFT_INLINE_SCALING_EXPAND", "512"))
+# the default (driver) invocation ALSO reports scaling efficiency; 1.28M docs
+# (expand=256) bounds added wall time (~4 min). The cpu-probe normalization
+# (below) makes the number comparable across differently-loaded sandboxes.
+INLINE_SCALING_EXPAND = int(os.environ.get("GRAFT_INLINE_SCALING_EXPAND", "256"))
 
 
 def _init_ray(num_cpus: int):
