@@ -458,6 +458,16 @@ def q_topk_join(sf_dir: str):
     return out.select_columns(["id1", "id2", "weight"])
 
 
+def q_topk_join_pm(sf_dir: str):
+    """TopKJoinPM: top-k join neighborhoods through the HB scheduler order
+    under budget (prioritization.py:1090-1360)."""
+    out = joins.topk_join_pm(
+        _docs(sf_dir, ["doc_id", "text"]), budget=40, k=5, strategy="HB",
+        metric="cosine", tokenization="standard", avg_round=6,
+    )
+    return out.select_columns(["id1", "id2", "weight"])
+
+
 def q_ejoin_multiset(sf_dir: str):
     # bag-semantics join: occurrence-numbered tokens (multiset intersection)
     return joins.ejoin(
@@ -834,6 +844,7 @@ def queries():
         "ejoin": q_ejoin,
         "ejoin_multiset": q_ejoin_multiset,
         "topk_join": q_topk_join,
+        "topk_join_pm": q_topk_join_pm,
         "pe_topk_join": q_pe_topk_join,
         "cc_lang_chain": q_cc_lang_chain,
         "tfidf_weights": q_tfidf_weights,
@@ -869,6 +880,29 @@ def queries():
         "substring_dedup": q_substring_dedup,
         "extended_qgram_blocking": q_extended_qgram_blocking,
     }
+
+
+# per-probe directed top-k neighborhoods of the token-cosine self-join —
+# shared by the topk_join and topk_join_pm oracles (appended after the toks CTE)
+_SQL_TOPK_RANKED = """,
+    cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    commons AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    wpairs AS (
+      SELECT id1, id2, CAST(c AS DOUBLE) / sqrt(CAST(x.n AS DOUBLE) * y.n) AS weight
+      FROM commons JOIN cnt x ON x.doc_id = id1 JOIN cnt y ON y.doc_id = id2
+    ),
+    directed AS (
+      SELECT id1, id2, weight FROM wpairs UNION ALL SELECT id2, id1, weight FROM wpairs
+    ),
+    ranked AS (
+      SELECT id1, id2, weight,
+             row_number() OVER (PARTITION BY id1 ORDER BY weight DESC, id2) AS rn
+      FROM directed
+    )"""
 
 
 def oracle_sql():
@@ -1229,26 +1263,29 @@ def oracle_sql():
             )
             SELECT id1, id2, weight FROM s2 WHERE r1 <= 3
         """,
-        "topk_join": toks + """,
-            cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
-            commons AS (
-              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-              FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            ),
-            wpairs AS (
-              SELECT id1, id2, CAST(c AS DOUBLE) / sqrt(CAST(x.n AS DOUBLE) * y.n) AS weight
-              FROM commons JOIN cnt x ON x.doc_id = id1 JOIN cnt y ON y.doc_id = id2
-            ),
-            directed AS (
-              SELECT id1, id2, weight FROM wpairs UNION ALL SELECT id2, id1, weight FROM wpairs
-            ),
-            ranked AS (
-              SELECT id1, id2, weight,
-                     row_number() OVER (PARTITION BY id1 ORDER BY weight DESC, id2) AS rn
-              FROM directed
-            )
+        "topk_join": toks + _SQL_TOPK_RANKED + """
             SELECT id1, id2, weight FROM ranked WHERE rn <= 5
+        """,
+        "topk_join_pm": toks + _SQL_TOPK_RANKED + """,
+            knn AS (SELECT id1, id2, weight, rn - 1 AS pos FROM ranked WHERE rn <= 5),
+            ann AS (
+              SELECT id1, id2, weight, pos,
+                     round(avg(weight) OVER (PARTITION BY id1), 6) AS avg
+              FROM knn
+            ),
+            keyed AS (
+              SELECT *, least(id1, id2) AS lo, greatest(id1, id2) AS hi,
+                     CASE WHEN pos > 0 THEN 1 ELSE 0 END AS blk
+              FROM ann
+            ),
+            fo AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY lo, hi ORDER BY blk, avg DESC, id1, pos
+              ) AS occ
+              FROM keyed
+            )
+            SELECT id1, id2, weight FROM fo WHERE occ = 1
+            ORDER BY blk, avg DESC, id1, pos LIMIT 40
         """,
         "tfidf_weights": toks + """,
             n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),

@@ -171,6 +171,32 @@ def topk_join(
     return per_center_topk(directed_pairs(sims), k, num_partitions=num_partitions)
 
 
+def topk_join_pm(
+    ds: ray.data.Dataset,
+    budget: int,
+    k: int = 10,
+    strategy: str = "HB",
+    metric: str = "cosine",
+    tokenization: str = "standard",
+    avg_round: int | None = None,
+    num_partitions: int = 32,
+    **kwargs,
+) -> ray.data.Dataset:
+    """TopKJoinPM (reference prioritization.py:1090-1360): the TopKJoin's
+    per-probe neighborhoods handed to the DatasetScheduler emission order
+    (TOP/DFS/BFS/HB) under a comparison budget, with canonical-pair
+    first-occurrence dedup — the join-based progressive matcher."""
+    from .encoding import nn_progressive_emit
+
+    kt = topk_join(
+        ds, k=k, metric=metric, tokenization=tokenization,
+        num_partitions=num_partitions, **kwargs,
+    ).rename_columns({"id1": "query_id", "id2": "neighbor_id", "weight": "score"})
+    return nn_progressive_emit(
+        kt, budget, strategy, num_partitions=num_partitions, avg_round=avg_round
+    )
+
+
 def pe_topk_join(
     ds1: ray.data.Dataset,
     ds2: ray.data.Dataset,
