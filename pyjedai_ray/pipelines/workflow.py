@@ -21,7 +21,8 @@ Config shape (all stages optional except blocking):
                       "tokenizer": "word" | "qgram",
                       "threshold": 0.5}            # omit -> use graph weights
       "clustering":  {"method": "connected_components" | "unique_mapping" |
-                      "center" | "best_match" | "merge_center",
+                      "center" | "best_match" | "merge_center" | "markov" |
+                      "kiraly" | "correlation" | "ricochet" | "row_column",
                       "threshold": 0.1},
     }
 
@@ -153,6 +154,16 @@ def run_workflow(
         clusters = clustering.merge_center_clustering(pairs, thr or 0.1)
     elif method == "best_match":
         clusters = clustering.best_match_clustering(pairs, thr or 0.1)
+    elif method == "markov":
+        clusters = clustering.markov_clustering(pairs, thr or 0.5)
+    elif method == "kiraly":
+        clusters = clustering.kiraly_clustering(pairs, thr or 0.1)
+    elif method == "correlation":
+        clusters = clustering.correlation_clustering(pairs, initial_threshold=thr or 0.5)
+    elif method == "ricochet":
+        clusters = clustering.ricochet_sr_clustering(pairs, thr or 0.5)
+    elif method == "row_column":
+        clusters = clustering.row_column_clustering(pairs, thr or 0.5)
     else:
         raise ValueError(f"unknown clustering method {method}")
     out["clusters"] = clusters
