@@ -590,6 +590,20 @@ def q_psn_pairs(sf_dir: str):
     return meta_blocking.sorted_neighborhood_pairs(edges, window=1, max_window=2)
 
 
+def q_global_psnm(sf_dir: str):
+    # rows-only: PSN's seeded per-block shuffle is not SQL-expressible
+    d = _docs(sf_dir, ["doc_id", "text"])
+    edges = blocking.explode_keys(d, keyer="standard").materialize()
+    return meta_blocking.global_psnm(edges, budget=50, window=1, max_window=2)
+
+
+def q_local_psnm(sf_dir: str):
+    # rows-only (same PSN seed dependency)
+    d = _docs(sf_dir, ["doc_id", "text"])
+    edges = blocking.explode_keys(d, keyer="standard").materialize()
+    return meta_blocking.local_psnm(edges, budget=50, window=1, max_window=2)
+
+
 def q_workflow_best_dedup(sf_dir: str):
     from .pipelines.workflow import best_dedup_workflow, run_workflow
 
@@ -866,6 +880,8 @@ def queries():
         "embeddings_nn_blocking": q_embeddings_nn_blocking,
         "embeddings_nn_bpm": q_embeddings_nn_bpm,
         "psn_pairs": q_psn_pairs,
+        "global_psnm": q_global_psnm,
+        "local_psnm": q_local_psnm,
         "workflow_best_dedup": q_workflow_best_dedup,
         "linkage_unique_mapping": q_linkage_unique_mapping,
         "center_clusters": q_center_clusters,

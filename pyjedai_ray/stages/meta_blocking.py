@@ -655,6 +655,36 @@ def emit_directed(
     )
 
 
+def global_psnm(
+    edges: ray.data.Dataset,
+    budget: int,
+    window: int = 2,
+    max_window: int | None = None,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """GlobalPSNM (prioritization.py:872-911): PSN windowed co-occurrence
+    weights emitted globally by descending weight under budget."""
+    pairs = sorted_neighborhood_pairs(edges, window=window, max_window=max_window, seed=seed)
+    return progressive_top(pairs, budget)
+
+
+def local_psnm(
+    edges: ray.data.Dataset,
+    budget: int,
+    window: int = 2,
+    max_window: int | None = None,
+    seed: int = 42,
+    k: int = 1,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """LocalPSNM (prioritization.py:913-951): per-entity best PSN pairs
+    first (per-node top-k over the windowed weights), then descending-weight
+    emission under budget."""
+    pairs = sorted_neighborhood_pairs(edges, window=window, max_window=max_window, seed=seed)
+    kept = _per_node_topk(pairs.materialize(), k, require_both=False)
+    return kept.sort(["weight", "id1", "id2"], descending=[True, False, False]).limit(budget)
+
+
 def progressive_entity_scheduling(
     weighted: ray.data.Dataset,
     budget: int,
