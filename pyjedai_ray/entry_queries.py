@@ -726,6 +726,14 @@ def q_row_column_clusters(sf_dir: str):
     )
 
 
+def q_cut_clusters(sf_dir: str):
+    # rows-only: Gomory-Hu max-flow tree is not SQL-expressible
+    w, _, _ = _weighted(sf_dir, "JS")
+    return clustering.cut_clustering(
+        w.select_columns(["id1", "id2", "weight"]), threshold=0.05, alpha=0.1
+    )
+
+
 def q_extended_qgram_blocking(sf_dir: str):
     # rows-only: the >= ceil(0.95*L) q-gram combination expansion
     # (block_building.py:714-773) is combinatorial — not worth oracle SQL
@@ -890,6 +898,7 @@ def queries():
         "correlation_clusters": q_correlation_clusters,
         "ricochet_clusters": q_ricochet_clusters,
         "row_column_clusters": q_row_column_clusters,
+        "cut_clusters": q_cut_clusters,
         "best_match_pairs": q_best_match_pairs,
         "unique_mapping_pairs": q_unique_mapping_pairs,
         "random_sample_pairs": q_random_sample_pairs,

@@ -22,8 +22,9 @@ Config shape (all stages optional except blocking):
                       "threshold": 0.5}            # omit -> use graph weights
       "clustering":  {"method": "connected_components" | "unique_mapping" |
                       "center" | "best_match" | "merge_center" | "markov" |
-                      "kiraly" | "correlation" | "ricochet" | "row_column",
-                      "threshold": 0.1},
+                      "kiraly" | "correlation" | "ricochet" | "row_column" |
+                      "cut",
+                      "threshold": 0.1},           # "cut" also takes "alpha"
     }
 
 Mirrors the predefined recipes at workflow.py:696-800 in spirit: see
@@ -164,6 +165,10 @@ def run_workflow(
         clusters = clustering.ricochet_sr_clustering(pairs, thr or 0.5)
     elif method == "row_column":
         clusters = clustering.row_column_clustering(pairs, thr or 0.5)
+    elif method == "cut":
+        clusters = clustering.cut_clustering(
+            pairs, thr or 0.5, alpha=kcfg.get("alpha", 0.2)
+        )
     else:
         raise ValueError(f"unknown clustering method {method}")
     out["clusters"] = clusters

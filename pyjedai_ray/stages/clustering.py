@@ -389,6 +389,121 @@ def markov_clustering(
     )
 
 
+def _min_cut(cap: np.ndarray, s: int, t: int) -> tuple[float, np.ndarray]:
+    """Edmonds-Karp max-flow / min-cut on a dense residual matrix.
+    Returns (flow value, boolean mask of the MINIMAL s-side of the min cut —
+    residual reachability from s). `cap` is mutated into the residual.
+    The BFS expands the whole frontier per step with one vectorized slice
+    (frontier-rows x all-columns), so each augmenting-path search costs
+    O(diameter) numpy ops, not O(V + E) Python iterations."""
+    n = cap.shape[0]
+    flow = 0.0
+    while True:
+        parent = np.full(n, -1, dtype=np.int64)
+        parent[s] = s
+        frontier = np.array([s], dtype=np.int64)
+        while len(frontier) and parent[t] == -1:
+            sub = cap[frontier] > 1e-12  # |F| x n
+            newly = sub.any(axis=0) & (parent == -1)
+            idx = np.flatnonzero(newly)
+            if len(idx) == 0:
+                break
+            # for each newly-reached v pick the first frontier row that reaches it
+            parent[idx] = frontier[np.argmax(sub[:, idx], axis=0)]
+            frontier = idx
+        if parent[t] == -1:
+            return flow, parent != -1
+        bottleneck = np.inf
+        v = t
+        while v != s:
+            u = parent[v]
+            bottleneck = min(bottleneck, cap[u, v])
+            v = u
+        v = t
+        while v != s:
+            u = parent[v]
+            cap[u, v] -= bottleneck
+            cap[v, u] += bottleneck
+            v = u
+        flow += bottleneck
+
+
+def cut_clustering(
+    pairs: ray.data.Dataset, threshold: float = 0.5, alpha: float = 0.2
+) -> ray.data.Dataset:
+    """Flake-Tarjan Cut Clustering (reference clustering.py:1007-1053):
+    trim the similarity graph to edges with weight STRICTLY over `threshold`,
+    attach an artificial sink to every node with capacity `alpha`, take the
+    Gomory-Hu tree of the augmented graph, remove the sink, and return the
+    connected components of the remaining forest.
+
+    Algorithm: the Flake-Tarjan min-cut-tree theorem ("Graph Clustering and
+    Minimum Cut Trees", Internet Mathematics 1(4), 2004) says the partition
+    obtained by deleting the sink from the min-cut (Gomory-Hu) tree equals
+    the communities produced by per-source sink cuts: for an unassigned
+    node s, the MINIMAL source side of the (s, sink) min cut (residual
+    reachability) is s's community. We run that directly — ONE max flow per
+    emitted cluster instead of Gusfield's one per node, which is the
+    difference between minutes and hours on a dense verified graph.
+    Nodes are visited in ascending id (deterministic); the reference's
+    networkx tree realizes tie cuts insertion-dependently, we pin the
+    minimal source side (documented divergence, same class as CNP ties).
+
+    Decomposition that makes this scale: nodes in different trimmed
+    components touch each other only through the sink, so min cuts — and
+    hence the tree minus the sink — factor exactly over trimmed components;
+    each component gets its own dense matrix + sink. A node with no
+    over-threshold edge is a singleton and comes back implicitly via
+    attach_clusters. Driver-side over the small verified edge list like the
+    other serial-by-definition clusterers (module docstring)."""
+    admitted = [(w, a, b) for w, a, b in _sorted_edges(pairs) if w > threshold]
+    uf = UnionFind()
+    for _, a, b in admitted:
+        uf.union(a, b)
+    comp = uf.components()
+    by_comp: dict[int, list[tuple[float, int, int]]] = {}
+    for w, a, b in admitted:
+        by_comp.setdefault(comp[a], []).append((w, a, b))
+
+    out_nodes: list[int] = []
+    out_labels: list[int] = []
+    for root in sorted(by_comp):
+        cedges = by_comp[root]
+        nodes = sorted({n for _, a, b in cedges for n in (a, b)})
+        idx = {n: i + 1 for i, n in enumerate(nodes)}  # 0 = sink
+        k = len(nodes)
+        cap0 = np.zeros((k + 1, k + 1), dtype=np.float64)
+        cap0[0, 1:] = alpha
+        cap0[1:, 0] = alpha
+        for w, a, b in cedges:
+            cap0[idx[a], idx[b]] += w
+            cap0[idx[b], idx[a]] += w
+        assigned = np.zeros(k + 1, dtype=bool)
+        assigned[0] = True  # sink
+        for i in range(1, k + 1):
+            if assigned[i]:
+                continue
+            _, s_side = _min_cut(cap0.copy(), i, 0)
+            members = np.flatnonzero(s_side & ~assigned)
+            assigned[members] = True
+            label = min(nodes[int(j) - 1] for j in members)
+            for j in members:
+                out_nodes.append(nodes[int(j) - 1])
+                out_labels.append(label)
+
+    order = np.argsort(np.array(out_nodes, dtype=np.int64)) if out_nodes else []
+    nodes_arr = np.array(out_nodes, dtype=np.int64)
+    labels_arr = np.array(out_labels, dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes_arr[order] if len(nodes_arr) else nodes_arr, pa.int64()),
+                "cluster_id": pa.array(labels_arr[order] if len(labels_arr) else labels_arr, pa.int64()),
+            }
+        )
+    )
+
+
 def kiraly_clustering(
     pairs: ray.data.Dataset, threshold: float = 0.1
 ) -> ray.data.Dataset:

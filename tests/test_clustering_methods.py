@@ -151,3 +151,46 @@ def test_merge_center_transitive_merge():
     pairs = _wpairs([(1, 2, 0.9), (3, 4, 0.8), (2, 3, 0.7)])
     out = _as_map(merge_center_clustering(pairs, threshold=0.1))
     assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cut_clustering_splits_weak_bridge():
+    from pyjedai_ray.stages.clustering import cut_clustering
+
+    # two unit triangles joined by a 0.6 bridge; alpha=0.5 makes each
+    # triangle's sink-cut (bridge + 3*alpha = 2.1) strictly cheaper than
+    # any single-node cut, so Gomory-Hu minus the sink yields two clusters
+    pairs = _wpairs(
+        [(1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0),
+         (4, 5, 1.0), (4, 6, 1.0), (5, 6, 1.0), (3, 4, 0.6)]
+    )
+    out = _as_map(cut_clustering(pairs, threshold=0.5, alpha=0.5))
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_cut_clustering_threshold_strict():
+    from pyjedai_ray.stages.clustering import cut_clustering
+
+    # edge exactly AT threshold excluded (reference clustering.py:1033 strict >)
+    pairs = _wpairs([(1, 2, 0.5)])
+    assert _as_map(cut_clustering(pairs, threshold=0.5)) == {}
+
+
+def test_cut_clustering_large_alpha_shatters():
+    from pyjedai_ray.stages.clustering import cut_clustering
+
+    # alpha above every edge weight: each node's min cut to the sink is its
+    # own sink edge, every Gomory-Hu tree edge is sink-incident, all
+    # singletons (Flake-Tarjan degenerate case)
+    pairs = _wpairs([(1, 2, 0.8), (2, 3, 0.7)])
+    out = _as_map(cut_clustering(pairs, threshold=0.5, alpha=5.0))
+    assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_cut_clustering_small_alpha_keeps_component():
+    from pyjedai_ray.stages.clustering import cut_clustering
+
+    # alpha far below edge weights: the whole trimmed component stays one
+    # cluster (sink cut of the full component is cheapest)
+    pairs = _wpairs([(1, 2, 0.9), (2, 3, 0.9)])
+    out = _as_map(cut_clustering(pairs, threshold=0.5, alpha=0.01))
+    assert out == {1: 1, 2: 1, 3: 1}

@@ -247,3 +247,51 @@ def test_candidate_pairs_salt_oversize():
     assert chain <= set(got)            # connectivity preserved
     assert len(got) > len(chain)        # plus intra-salt-group pairs
     assert len(got) < 66                # far fewer than full 12*11/2
+
+
+def test_explode_keys_vectorized_matches_loop():
+    """The Arrow fast path for the standard keyer must produce the same
+    (doc_id, key) edge SET as the per-doc Python regex, including the
+    non-ASCII fallback (RE2 \\W is ASCII-only, Python's is Unicode-aware)."""
+    import ray.data
+    from pyjedai_ray.functions.tokenize import standard_tokens
+    from pyjedai_ray.stages.blocking import explode_keys
+
+    texts = [
+        "The  quick, quick brown-fox! jumps_over 42 lazy dogs",
+        "",
+        "dup dup dup DUP",
+        "naïve café résumé touché naïve",  # forces the non-ASCII fallback
+        "punct.,;:!?only---",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+    )
+    got = set()
+    for r in explode_keys(ds, "standard").take_all():
+        got.add((r["doc_id"], r["key"]))
+    want = set()
+    for did, text in enumerate(texts):
+        for k in standard_tokens(text):
+            want.add((did, k))
+    assert got == want
+
+    # ASCII-only corpus exercises the vectorized path itself (the mixed
+    # batch above falls back to the loop wholesale)
+    ascii_texts = [t for t in texts if t.isascii()]
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(list(range(len(ascii_texts))), pa.int64()),
+             "text": pa.array(ascii_texts, pa.string())}
+        )
+    )
+    got2 = {(r["doc_id"], r["key"]) for r in explode_keys(ds2, "standard").take_all()}
+    want2 = {
+        (did, k)
+        for did, text in enumerate(ascii_texts)
+        for k in standard_tokens(text)
+    }
+    assert got2 == want2
