@@ -79,6 +79,61 @@ def oracle_minhash_clusters(
     return uf.components()
 
 
+def oracle_simhash_clusters(
+    docs: list[tuple[int, str]],
+    cfg: DedupConfig | None = None,
+    simhash_bands: int = 4,
+) -> dict[int, int]:
+    """(doc_id, text) list -> {doc_id: cluster_id} under SimHash Hamming-LSH
+    + Hamming-verify + connected components, all in memory.
+
+    Mirrors stages/dedup.py:simhash_dedup stage for stage at the same seed
+    (token hash seed = cfg.seed ^ 0x51A4, per stages/minhash.py signer),
+    including the oversized-bucket chain rule, so results are bit-identical.
+    """
+    from .functions.hashing import hamming64, hash64, simhash64, simhash_band_keys
+
+    cfg = cfg or DedupConfig()
+    sim_seed = cfg.seed ^ 0x51A4
+
+    simhashes: dict[int, int] = {}
+    buckets: dict[int, list[int]] = defaultdict(list)
+    for doc_id, text in docs:
+        toks = token_sequence(text or "")
+        th = np.array(
+            sorted(hash64(t, sim_seed) for t in set(toks)), dtype=np.uint64
+        )
+        sh = simhash64(th)
+        simhashes[doc_id] = sh
+        for k in simhash_band_keys(sh, simhash_bands):
+            buckets[int(k)].append(doc_id)
+
+    candidates: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        uniq = sorted(set(ids))
+        if len(uniq) < 2:
+            continue
+        if len(uniq) <= cfg.max_block_size:
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    candidates.add((uniq[i], uniq[j]))
+        else:  # oversized bucket: consecutive-id chain (hot-key rule)
+            for a, b in zip(uniq[:-1], uniq[1:]):
+                candidates.add((a, b))
+
+    uf = UnionFind()
+    for a, b in candidates:
+        d = int(
+            hamming64(
+                np.array([simhashes[a]], dtype=np.uint64),
+                np.array([simhashes[b]], dtype=np.uint64),
+            )[0]
+        )
+        if d <= cfg.simhash_hamming_max:
+            uf.union(a, b)
+    return uf.components()
+
+
 def oracle_pair_recall(
     oracle_clusters: dict[int, int], predicted_clusters: dict[int, int]
 ) -> tuple[float, int, int]:

@@ -79,3 +79,27 @@ def test_simhash_pipeline_runs(webpages):
     clusters = res["clusters"].take_all()
     # exact duplicates have identical simhash -> must be clustered
     assert len(clusters) >= 50
+
+
+def test_simhash_pipeline_matches_oracle(webpages):
+    """SimHash distributed pipeline vs in-memory same-semantics oracle —
+    exact cluster-pair equality at the pinned seed/band config (the
+    north-rule recall criterion for the SimHash path)."""
+    from pyjedai_ray.oracle import oracle_pair_recall, oracle_simhash_clusters
+    from pyjedai_ray.stages.dedup import simhash_dedup
+
+    cfg = DedupConfig()
+    res = simhash_dedup(webpages, cfg, cluster_mode="driver", num_partitions=4)
+    predicted = {r["doc_id"]: r["cluster_id"] for r in res["clusters"].take_all()}
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in webpages.select_columns(["doc_id", "text"]).take_all()
+    ]
+    oracle = oracle_simhash_clusters(docs, cfg)
+
+    recall, tp, total = oracle_pair_recall(oracle, predicted)
+    assert total > 0, "oracle found no simhash dup pairs — fixture broken"
+    assert recall >= 0.99, f"recall {recall} ({tp}/{total})"
+    precision, _, _ = oracle_pair_recall(predicted, oracle)
+    assert precision >= 0.99, f"pipeline emitted pairs the oracle did not: {precision}"
