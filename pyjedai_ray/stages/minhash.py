@@ -29,7 +29,6 @@ from ..functions.hashing import (
     perm_seeds,
     shingle_hash_array,
     simhash64,
-    simhash_band_keys,
 )
 from ..functions.tokenize import token_sequence
 
@@ -138,15 +137,22 @@ def explode_simhash_bands(sigs: ray.data.Dataset, bands: int = 4) -> ray.data.Da
     two docs within Hamming distance < bands share at least one chunk key."""
 
     def _explode(batch: pa.Table) -> pa.Table:
-        keys: list[int] = []
-        ids: list[int] = []
-        for did, sh in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
-            for k in simhash_band_keys(int(np.int64(sh).view(np.uint64)), bands):
-                keys.append(k)
-                ids.append(did)
+        # vectorized simhash_band_keys: (n, bands) chunk matrix in numpy
+        # bit ops, no per-row Python (functions/hashing.py:165-171 semantics)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(sh)
+        if n == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        width = np.uint64(64 // bands)
+        mask = np.uint64((1 << (64 // bands)) - 1)
+        i = np.arange(bands, dtype=np.uint64)
+        keys = (i << np.uint64(60)) | ((sh[:, None] >> (i * width)) & mask)
         return pa.table(
-            {"key": pa.array(np.array(keys, dtype=np.uint64).view(np.int64), pa.int64()),
-             "doc_id": pa.array(ids, pa.int64())}
+            {"key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+             "doc_id": pa.array(np.repeat(ids, bands), pa.int64())}
         )
 
     return sigs.map_batches(_explode, batch_format="pyarrow")
