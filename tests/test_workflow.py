@@ -111,3 +111,39 @@ def test_psn_pairs(request):
     got = {(r["id1"], r["id2"]) for r in pairs}
     # docs 0,1 share key "alpha"; 0,2 share "beta" -> adjacent in sorted order
     assert (0, 1) in got and (0, 2) in got
+
+
+def test_run_workflow_cut_clustering_dispatch(request):
+    request.getfixturevalue("ray_session")
+    import ray.data
+
+    from pyjedai_ray.pipelines.workflow import run_workflow
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(6)), pa.int64()),
+                "text": [
+                    "red green blue yellow",
+                    "red green blue yellow",
+                    "red green blue purple",
+                    "cat dog mouse bird",
+                    "cat dog mouse bird",
+                    "completely unrelated words here",
+                ],
+            }
+        )
+    )
+    cfg = {
+        "blocking": {"keyer": "standard"},
+        "comparison": {"scheme": "CBS", "pruning": "none"},
+        "matching": {"metric": "jaccard", "tokenizer": "word", "threshold": 0.7},
+        "clustering": {"method": "cut", "threshold": 0.5, "alpha": 0.2},
+    }
+    out = run_workflow(docs, cfg, num_partitions=4)
+    clusters = {}
+    for r in out["clusters"].take_all():
+        clusters.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    groups = sorted(frozenset(v) for v in clusters.values() if len(v) > 1)
+    assert frozenset({0, 1}) in groups
+    assert frozenset({3, 4}) in groups
