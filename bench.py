@@ -144,31 +144,49 @@ def cpu_probe(num_cpus: int, tasks: int = 64) -> float:
     return tasks / (time.time() - t0)
 
 
-def run_scaling(expand: int, lo: int = 8, hi: int = 32) -> dict:
-    """Same headline job in two FRESH processes at two parallelism levels
-    (the sandbox stand-in for an N-node vs 4N-node cluster); efficiency =
-    (docs/sec@hi) / ((hi/lo) x docs/sec@lo). Also runs the pure-CPU
-    calibration probe at both levels: `normalized_efficiency` divides the
-    pipeline efficiency by the probe's (the machine's achievable ceiling),
-    capped at 1.0."""
-    results = {}
+def _subproc_json(mode: str, num_cpus: int, expand: int) -> dict | None:
+    env = dict(
+        os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_BENCH_EXPAND=str(expand)
+    )
+    p = subprocess.run(
+        [sys.executable, __file__, mode], capture_output=True, text=True, env=env
+    )
+    lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    return json.loads(lines[-1]) if lines else None
+
+
+def run_probe_pair(lo: int = 8, hi: int = 32) -> dict | None:
+    """Machine-ceiling calibration at both parallelism levels (fresh
+    processes); shared across every scaling corpus size — the probe measures
+    the HOST, not the corpus."""
     probe = {}
     for n in (lo, hi):
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(n),
-            GRAFT_BENCH_EXPAND=str(expand),
-        )
-        for mode, store in (("--headline-only", results), ("--probe-only", probe)):
-            p = subprocess.run(
-                [sys.executable, __file__, mode],
-                capture_output=True, text=True, env=env,
-            )
-            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
-            if not lines:
-                return {"metric": "scaling_efficiency", "value": None,
-                        "error": (p.stderr or "no output")[-500:]}
-            store[n] = json.loads(lines[-1])
+        r = _subproc_json("--probe-only", n, 1)
+        if r is None:
+            return None
+        probe[n] = r
+    return probe
+
+
+def run_scaling(
+    expand: int, lo: int = 8, hi: int = 32, probe: dict | None = None
+) -> dict:
+    """Same headline job in two FRESH processes at two parallelism levels
+    (the sandbox stand-in for an N-node vs 4N-node cluster); efficiency =
+    (docs/sec@hi) / ((hi/lo) x docs/sec@lo). The pure-CPU calibration probe
+    at both levels gives `normalized_efficiency` = pipeline efficiency /
+    probe efficiency (the machine's achievable ceiling), capped at 1.0."""
+    if probe is None:
+        probe = run_probe_pair(lo, hi)
+    if probe is None:
+        return {"metric": "scaling_efficiency", "value": None, "error": "probe failed"}
+    results = {}
+    for n in (lo, hi):
+        r = _subproc_json("--headline-only", n, expand)
+        if r is None:
+            return {"metric": "scaling_efficiency", "value": None,
+                    "error": "headline run produced no output"}
+        results[n] = r
     eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
     probe_eff = (probe[hi]["tasks_per_sec"] / probe[lo]["tasks_per_sec"]) / (hi / lo)
     return {
@@ -211,7 +229,12 @@ def main() -> None:
     import ray
 
     ray.shutdown()  # scaling subprocesses need the CPUs back
-    scaling = run_scaling(INLINE_SCALING_EXPAND)
+    # two-corpus-size scaling ladder (VERDICT r2 #8): the probe pair is
+    # measured once (it calibrates the host, not the corpus); throughput
+    # growing with corpus size is the shape the 100-TB target needs
+    probe = run_probe_pair()
+    scaling = run_scaling(INLINE_SCALING_EXPAND, probe=probe)
+    scaling_large = run_scaling(2 * INLINE_SCALING_EXPAND, probe=probe)
     print(
         json.dumps(
             {
@@ -223,8 +246,9 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "n_docs": headline["n_docs"],
                 "n_clustered": headline["n_clustered"],
-                "scaling_efficiency": scaling["value"],
+                "scaling_efficiency": scaling_large["value"],
                 "scaling": scaling,
+                "scaling_large": scaling_large,
             }
         )
     )

@@ -21,15 +21,27 @@ U64 = np.uint64
 _MASK64 = U64(0xFFFFFFFFFFFFFFFF)
 
 
+_SM_C0 = U64(0x9E3779B97F4A7C15)
+_SM_C1 = U64(0xBF58476D1CE4E5B9)
+_SM_C2 = U64(0x94D049BB133111EB)
+_SM_S30, _SM_S27, _SM_S31 = U64(30), U64(27), U64(31)
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over uint64 arrays (wrapping mul)."""
-    x = x.astype(U64, copy=True)
-    with np.errstate(over="ignore"):
-        x += U64(0x9E3779B97F4A7C15)
-        z = x
-        z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
-        z = z ^ (z >> U64(31))
+    """Vectorized splitmix64 finalizer over uint64 arrays (wrapping mul —
+    silent for ARRAY operands, so no errstate guard; in-place ops on one
+    scratch buffer keep the hot path allocation-light: this is the innermost
+    kernel of shingle chaining, minhash and band folding)."""
+    z = x.astype(U64, copy=True)
+    z += _SM_C0
+    t = z >> _SM_S30
+    z ^= t
+    z *= _SM_C1
+    np.right_shift(z, _SM_S27, out=t)
+    z ^= t
+    z *= _SM_C2
+    np.right_shift(z, _SM_S31, out=t)
+    z ^= t
     return z
 
 
@@ -86,11 +98,119 @@ def shingle_hash_array(
             h = hash64(t, seed)
             token_cache[t] = h
         th[i] = h
+    return shingle_hashes_from_token_hashes(th, k)
+
+
+def shingle_hashes_from_token_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """Windowed shingle hashes from a doc's ORDERED token-hash array — the
+    chaining half of shingle_hash_array, split out so batch-level
+    dictionary-encoded token hashing (stages/minhash.py) can reuse it
+    bit-identically."""
+    n = th.size
+    if n == 0:
+        return np.array([], dtype=U64)
     kk = min(k, n)
     acc = np.full(n - kk + 1, U64(0x243F6A8885A308D3) ^ np.uint64(kk), dtype=U64)
     for j in range(kk):
         acc = splitmix64(acc ^ th[j : j + n - kk + 1])
     return np.unique(acc)
+
+
+def _segment_unique(
+    values: np.ndarray, doc_rep: np.ndarray, n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment sorted-unique over a concatenated value array: one lexsort
+    + run dedupe for the whole batch instead of n_docs np.unique calls.
+    Returns (concatenated uniques, int64 offsets of length n_docs+1)."""
+    if values.size == 0:
+        return values, np.zeros(n_docs + 1, dtype=np.int64)
+    order = np.lexsort((values, doc_rep))
+    v, d = values[order], doc_rep[order]
+    keep = np.ones(v.size, dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+    v, d = v[keep], d[keep]
+    counts = np.bincount(d, minlength=n_docs)
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return v, offs
+
+
+def shingle_hashes_batched(
+    th_all: np.ndarray, offs: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched shingle_hashes_from_token_hashes over a whole batch of docs:
+    token hashes concatenated in ``th_all`` with per-doc ``offs``. The k
+    chaining passes run over ONE array of all windows (masked for docs
+    shorter than k) instead of one small call per doc — same values,
+    ~k vector ops per batch. Returns per-doc sorted-unique window hashes
+    (concatenated, with offsets)."""
+    offs = np.asarray(offs, dtype=np.int64)
+    n_docs = offs.size - 1
+    lens = offs[1:] - offs[:-1]
+    kk = np.minimum(lens, k)
+    n_win = np.where(lens > 0, lens - kk + 1, 0)
+    total = int(n_win.sum())
+    if total == 0:
+        return np.array([], dtype=U64), np.zeros(n_docs + 1, dtype=np.int64)
+    doc_rep = np.repeat(np.arange(n_docs), n_win)
+    win_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_win, out=win_offs[1:])
+    local = np.arange(total, dtype=np.int64) - win_offs[doc_rep]
+    starts = offs[:-1][doc_rep] + local
+    kkr = kk[doc_rep]
+    acc = U64(0x243F6A8885A308D3) ^ kkr.astype(U64)
+    for j in range(int(kk.max())):
+        m = kkr > j
+        if m.all():
+            acc = splitmix64(acc ^ th_all[starts + j])
+        else:
+            idx = np.flatnonzero(m)
+            acc[idx] = splitmix64(acc[idx] ^ th_all[starts[idx] + j])
+    return _segment_unique(acc, doc_rep, n_docs)
+
+
+def minhash_signatures_concat(
+    sh: np.ndarray, offs: np.ndarray, seeds: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perms) signatures from concatenated per-doc shingle
+    hashes: one splitmix + minimum.reduceat pass per permutation over the
+    whole batch (num_perms vector ops instead of n_docs matrix calls).
+    Empty docs get the all-max sentinel (matches minhash_signature)."""
+    offs = np.asarray(offs, dtype=np.int64)
+    n_docs = offs.size - 1
+    out = np.full((n_docs, seeds.shape[0]), _MASK64, dtype=U64)
+    lens = offs[1:] - offs[:-1]
+    ne = np.flatnonzero(lens > 0)
+    if ne.size == 0:
+        return out
+    starts = offs[:-1][ne]
+    for i in range(seeds.shape[0]):
+        mixed = splitmix64(sh ^ seeds[i])
+        out[ne, i] = np.minimum.reduceat(mixed, starts)
+    return out
+
+
+def simhash64_batched(th: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Batched simhash64 over concatenated per-doc (distinct-token) hash
+    arrays: one unpackbits + add.reduceat for the whole batch. Empty docs
+    hash to 0 (matches simhash64 on an empty array)."""
+    offs = np.asarray(offs, dtype=np.int64)
+    n_docs = offs.size - 1
+    out = np.zeros(n_docs, dtype=U64)
+    lens = offs[1:] - offs[:-1]
+    ne = np.flatnonzero(lens > 0)
+    if ne.size == 0 or th.size == 0:
+        return out
+    bits = np.unpackbits(
+        np.ascontiguousarray(th).view(np.uint8).reshape(-1, 8),
+        axis=1,
+        bitorder="little",
+    ).astype(np.int64)
+    sums = np.add.reduceat(bits, offs[:-1][ne], axis=0)
+    votes = sums * 2 - lens[ne][:, None]
+    sel = (votes >= 0).astype(U64)
+    out[ne] = (sel << np.arange(64, dtype=U64)[None, :]).sum(axis=1, dtype=U64)
+    return out
 
 
 def perm_seeds(num_perms: int, seed: int) -> np.ndarray:

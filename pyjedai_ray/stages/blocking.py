@@ -140,8 +140,10 @@ def blocks_with_sizes(
     """Edge list annotated with its key's block size, filtered to
     [min_size, max_size] — drop_single_entity_blocks / max-block-size
     semantics (src/pyjedai/utils.py:85-122)."""
+    from .exchange import barrier
+
     eschema = edges.schema().base_schema
-    sizes = block_sizes(edges).materialize()  # barrier before the join exchange
+    sizes = barrier(block_sizes(edges))  # barrier before the join exchange
     keep = sizes.filter(expr=f"block_size >= {min_size}")
     if max_size is not None:
         keep = keep.filter(expr=f"block_size <= {max_size}")

@@ -99,9 +99,27 @@ def attach_clusters(
     return joined.map_batches(_fill, batch_format="pyarrow")
 
 
-def _sorted_edges(pairs: ray.data.Dataset) -> list[tuple[float, int, int]]:
+def _sorted_edges(
+    pairs: ray.data.Dataset,
+    threshold: float | None = None,
+    max_edges: int = DRIVER_EDGE_LIMIT,
+) -> list[tuple[float, int, int]]:
     """Collect edges sorted by (weight desc, id1, id2) — deterministic greedy
-    input order. Driver-side by design (see module docstring)."""
+    input order. Driver-side by design (see module docstring), so it is
+    guarded: edges are pre-filtered distributedly to ``weight > threshold``
+    (every serial clusterer admits strictly-above-threshold edges only), and
+    a post-filter edge count above ``max_edges`` raises instead of OOMing
+    the driver — mirroring DRIVER_EDGE_LIMIT in connected_components."""
+    if threshold is not None and "weight" in pairs.columns():
+        pairs = pairs.filter(expr=f"weight > {threshold!r}")
+    n = pairs.count()
+    if n > max_edges:
+        raise ValueError(
+            f"{n} verified edges exceed the driver-side clusterer cap "
+            f"({max_edges}); raise max_edges or pre-prune the pair graph "
+            f"(these serial-greedy methods are order-dependent by definition "
+            f"and cannot be distributed without changing their semantics)"
+        )
     rows = pairs.sort(["weight", "id1", "id2"], descending=[True, False, False]).take_all()
     return [(r["weight"], int(r["id1"]), int(r["id2"])) for r in rows]
 
@@ -114,9 +132,7 @@ def unique_mapping_clustering(
     Edges admitted with strict ``weight > threshold`` (reference :521)."""
     matched: set[int] = set()
     out1, out2 = [], []
-    for w, a, b in _sorted_edges(pairs):
-        if w <= threshold:
-            break
+    for w, a, b in _sorted_edges(pairs, threshold=threshold):
         if a in matched or b in matched:
             continue
         matched.add(a)
@@ -134,9 +150,7 @@ def best_match_clustering(
     keep its max-weight edge (deterministic tie-break id2 asc). Strict
     ``weight > threshold`` admission (reference :695)."""
     best: dict[int, tuple[float, int]] = {}
-    for w, a, b in _sorted_edges(pairs):
-        if w <= threshold:
-            continue
+    for w, a, b in _sorted_edges(pairs, threshold=threshold):
         if a not in best:
             best[a] = (w, b)
     out1 = sorted(best)
@@ -165,9 +179,7 @@ def merge_center_clustering(
     is_center: set[int] = set()
     is_member: set[int] = set()
     uf = UnionFind()
-    for w, a, b in _sorted_edges(pairs):
-        if w <= threshold:
-            continue
+    for w, a, b in _sorted_edges(pairs, threshold=threshold):
         a_c, b_c = a in is_center, b in is_center
         a_m, b_m = a in is_member, b in is_member
         if not (a_c or b_c or a_m or b_m):
@@ -342,8 +354,7 @@ def markov_clustering(
     equivalent — they are diagonal-only and come back as implicit
     singletons via attach_clusters). Runs on the post-verification edge list,
     which is small relative to the corpus (module docstring)."""
-    edges = _sorted_edges(pairs)
-    admitted = [(w, a, b) for w, a, b in edges if w > threshold]
+    admitted = _sorted_edges(pairs, threshold=threshold)
     nodes = sorted({n for _, a, b in admitted for n in (a, b)})
     if not nodes:
         return ray.data.from_arrow(
@@ -456,7 +467,7 @@ def cut_clustering(
     over-threshold edge is a singleton and comes back implicitly via
     attach_clusters. Driver-side over the small verified edge list like the
     other serial-by-definition clusterers (module docstring)."""
-    admitted = [(w, a, b) for w, a, b in _sorted_edges(pairs) if w > threshold]
+    admitted = _sorted_edges(pairs, threshold=threshold)
     uf = UnionFind()
     for _, a, b in admitted:
         uf.union(a, b)
@@ -518,9 +529,7 @@ def kiraly_clustering(
     Matched pairs' connected components are the clusters."""
     best: dict[int, list[tuple[float, int]]] = {}
     woman_scores: dict[tuple[int, int], float] = {}
-    for w, a, b in _sorted_edges(pairs):
-        if w <= threshold:
-            continue
+    for w, a, b in _sorted_edges(pairs, threshold=threshold):
         best.setdefault(a, []).append((w, b))
         woman_scores[(b, a)] = w
     fiance: dict[int, int] = {}
@@ -564,9 +573,7 @@ def ricochet_sr_clustering(
     post-verification graph (module docstring); admission strict
     ``weight > threshold`` (reference :1376)."""
     adj: dict[int, dict[int, float]] = {}
-    for w, a, b in _sorted_edges(pairs):
-        if w <= threshold:
-            continue
+    for w, a, b in _sorted_edges(pairs, threshold=threshold):
         adj.setdefault(a, {})[b] = w
         adj.setdefault(b, {})[a] = w
     if not adj:
@@ -762,10 +769,8 @@ def center_clustering(
     # degree-normalized weight sums over admitted edges
     wsum: dict[int, float] = {}
     deg: dict[int, int] = {}
-    edges = _sorted_edges(pairs)
+    edges = _sorted_edges(pairs, threshold=threshold)
     for w, a, b in edges:
-        if w <= threshold:
-            continue
         wsum[a] = wsum.get(a, 0.0) + w
         wsum[b] = wsum.get(b, 0.0) + w
         deg[a] = deg.get(a, 0) + 1
@@ -773,8 +778,6 @@ def center_clustering(
     is_center: set[int] = set()
     is_member: dict[int, int] = {}
     for w, a, b in edges:
-        if w <= threshold:
-            continue
         a_free = a not in is_center and a not in is_member
         b_free = b not in is_center and b not in is_member
         if a_free and b_free:

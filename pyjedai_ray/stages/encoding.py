@@ -53,9 +53,11 @@ class TextEncoder:
     ):
         if not use_stub:
             raise NotImplementedError(
-                "real text encoding requires a sentence-transformer runtime — "
-                "not available in this environment; construct the model here "
-                "(loaded once per actor)"
+                f"real text encoding requires a sentence-transformer runtime — "
+                f"not available in this environment; construct model "
+                f"{model!r} here (loaded once per actor, on the device the "
+                f"actor's num_gpus grant implies — the "
+                f"vector_based_blocking.py:174-179 device-pick analog)"
             )
         self.dim = dim
         self.seed = seed
@@ -104,17 +106,31 @@ def encode_texts(
     batch_size: int = 1024,
     concurrency: int = 4,
     num_cpus: float = 1.0,
+    num_gpus: float = 0.0,
+    model: str = "stub-encoder",
+    use_stub: bool = True,
 ) -> ray.data.Dataset:
-    """docs -> (doc_id, embedding) via the per-actor encoder pool."""
+    """docs -> (doc_id, embedding) via the per-actor encoder pool.
+
+    Real-model deployment knobs (vector_based_blocking.py:128,174-193
+    analog): ``model`` names the sentence-transformer checkpoint each actor
+    loads once in ``__init__``; ``num_gpus`` reserves accelerator slots per
+    actor (e.g. num_gpus=1, concurrency=#GPUs, use_stub=False) — Ray places
+    the actors on GPU nodes and sets CUDA_VISIBLE_DEVICES; ``batch_size``
+    bounds per-forward memory. With use_stub=True (this container has no
+    torch) the kernel is the deterministic feature-hashing embedding and the
+    same plumbing is exercised end-to-end."""
     return docs.map_batches(
         TextEncoder,
         fn_constructor_kwargs={
             "dim": dim, "seed": seed, "id_col": id_col, "text_col": text_col,
+            "model": model, "use_stub": use_stub,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=num_cpus,
+        **({"num_gpus": num_gpus} if num_gpus else {}),
     )
 
 
@@ -257,6 +273,7 @@ def embeddings_nn_blocking(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int = 100_000,
 ) -> ray.data.Dataset:
     """End-to-end EmbeddingsNNBlockBuilding: encode -> k-means quantize ->
     IVF top-k — no pre-existing label/bucket column required
@@ -266,7 +283,10 @@ def embeddings_nn_blocking(
     default) — distributed: repartition by coarse cell, per-partition
     bucket-local matmul + vectorized top-k; nothing corpus-sized touches the
     driver. A small explicit probe set goes through ann.ivf_knn (broadcast
-    queries).
+    queries). A coarse cell above ``max_bucket`` rows raises rather than
+    silently running an O(b^2) matmul — a skewed k-means cell is the vector
+    path's hot LSH key (same guard as ann.embedding_neardup); re-fit with
+    more clusters or raise max_bucket deliberately.
     """
     from . import ann
     from .exchange import effective_partitions, stamp_schema
@@ -323,6 +343,10 @@ def embeddings_nn_blocking(
             n = sub_ids.size
             if n < 2:
                 continue
+            if n > max_bucket:
+                raise ValueError(
+                    f"coarse cell of {n} rows exceeds max_bucket={max_bucket}"
+                )
             scores = sub @ sub.T
             np.fill_diagonal(scores, -np.inf)
             kk = min(k, n - 1)

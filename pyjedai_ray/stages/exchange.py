@@ -96,6 +96,38 @@ def appended(schema: pa.Schema, fields: list[tuple[str, pa.DataType]]) -> pa.Sch
 _SIDE = "__jside"
 
 
+def barrier(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialize barrier between consecutive hash-shuffle exchanges.
+
+    On Ray 2.49's hash-shuffle backend, letting several exchanges run
+    concurrently in one streaming DAG makes their aggregator actor pools
+    oversubscribe the CPUs (measured: ejoin 25s -> 102s fully streamed), so
+    chained shuffles are separated by a materialize. This trades pure latency
+    for aggregator-pool survival and should be re-measured on every Ray
+    upgrade — hence the mode switch:
+
+      PYJEDAI_RAY_BARRIER_MODE = "auto" (default) | "barrier" | "stream"
+
+    "auto" applies the barrier on Ray <= 2.49 and streams on newer releases
+    (re-measure and move the version pin when upgrading); "barrier"/"stream"
+    force either behavior — "stream" is also the measurement knob:
+    `PYJEDAI_RAY_BARRIER_MODE=stream python bench.py` quantifies the cost on
+    the current scheduler (numbers recorded in BASELINE.md)."""
+    import os
+
+    mode = os.environ.get("PYJEDAI_RAY_BARRIER_MODE", "auto")
+    if mode == "stream":
+        return ds
+    if mode == "auto":
+        try:
+            major, minor = (int(x) for x in ray.__version__.split(".")[:2])
+            if (major, minor) > (2, 49):
+                return ds
+        except ValueError:
+            pass  # unparseable dev version: keep the barrier
+    return ds.materialize()
+
+
 def effective_partitions(requested: int) -> int:
     """Clamp a partition count to the cluster-sized shuffle parallelism.
 

@@ -86,20 +86,24 @@ def _with_similarity(
     metric: str,
     num_partitions: int,
 ) -> ray.data.Dataset:
+    from .exchange import barrier
+
     i64 = pa.int64()
     commons_schema = pa.schema([("id1", i64), ("id2", i64), ("common", i64)])
-    # MATERIALIZE between shuffle stages: commons is itself two chained
+    # BARRIER between shuffle stages: commons is itself two chained
     # shuffles; letting it stream into the join makes 3+ hash-shuffle
     # exchanges run CONCURRENTLY and their aggregator actor pools
     # oversubscribe the CPUs (measured: ejoin 25s -> 102s without the
-    # barrier). Schemas still passed so the join never probes blocks.
-    commons = commons.materialize()
-    p = hash_join(
+    # barrier on Ray 2.49). Schemas still passed so the join never probes
+    # blocks; exchange.barrier() re-evaluates the tradeoff per Ray version
+    # (PYJEDAI_RAY_BARRIER_MODE to override/measure).
+    commons = barrier(commons)
+    p = barrier(hash_join(
         commons, counts.rename_columns({"doc_id": "id1", "ntok": "n1"}),
         on=("id1",), num_partitions=num_partitions,
         left_schema=commons_schema,
         right_schema=pa.schema([("id1", i64), ("n1", i64)]),
-    ).materialize()
+    ))
     p = hash_join(
         p, counts.rename_columns({"doc_id": "id2", "ntok": "n2"}),
         on=("id2",), num_partitions=num_partitions,
@@ -222,6 +226,14 @@ def pe_topk_join(
     """
     if dataset_limit is None:
         dataset_limit = int(ds1.max(id_col)) + 1
+    min2 = int(ds2.min(id_col))
+    if min2 < dataset_limit:
+        raise ValueError(
+            f"pe_topk_join requires disjoint ordered id spaces: every ds1 "
+            f"{id_col} must be < every ds2 {id_col}, but ds2 min {min2} < "
+            f"dataset_limit {dataset_limit} — re-key one side (the reference's "
+            f"dataset_limit split, datamodel.py:115)"
+        )
 
     both = ds1.union(ds2)
     edges = _token_edges(both, tokenization, qgrams, id_col, text_col).materialize()

@@ -311,6 +311,41 @@ def verify_pairs_vectors(
     )
 
 
+def _token_tf_edges(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(key:string, doc_id:int64, tf:int64) — one row per DISTINCT token per
+    doc with its occurrence count (CountVectorizer semantics). Stateless
+    map_batches; keys cast to pa.string() to match the explode_keys stamp
+    (large_string drift breaks downstream schema stamps)."""
+    from collections import Counter
+
+    from ..functions.tokenize import token_sequence
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("key", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64())]
+        )
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return schema.empty_table()
+        keys, ids, tfs = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(),
+        ):
+            for tok, cnt in Counter(token_sequence(text or "")).items():
+                keys.append(tok)
+                ids.append(int(did))
+                tfs.append(cnt)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_tf, batch_format="pyarrow")
+
+
 def verify_pairs_tfidf(
     pairs: ray.data.Dataset,
     docs: ray.data.Dataset,
@@ -318,22 +353,29 @@ def verify_pairs_tfidf(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 32,
+    vectorizer: str = "tfidf",
 ) -> ray.data.Dataset:
-    """TF-IDF cosine per candidate pair, fully distributed — the scale-sane
-    replacement for the reference's full pairwise distance matrix
+    """Frequency-vector cosine per candidate pair, fully distributed — the
+    scale-sane replacement for the reference's full pairwise distance matrix
     (FrequencyEvaluator, src/pyjedai/utils.py:1091-1268, caches an O(n^2)
     matrix to disk; SURVEY.md flags it as the anti-pattern).
 
-    Boolean tf (set semantics), idf = ln((1+N)/(1+df)) + 1 (sklearn smooth).
+    vectorizer — the reference's three FrequencyEvaluator models
+    (utils.py:1198-1248):
+      "tfidf":   boolean tf (set semantics) x idf = ln((1+N)/(1+df)) + 1
+                 (sklearn smooth);
+      "tf":      raw term counts, no idf (CountVectorizer analog);
+      "boolean": presence vectors (0/1), no idf (the tfidf matrix cast
+                 bool->int, utils.py:1238-1240).
 
     No driver-side vocabulary and no text shipping: after the keyed
     repartition on token, each token's full posting list sits in ONE
     partition, so df = run length and the idf is computed in-partition with
     no global table. From the same repartitioned edges:
-      numerator parts: per token block, every co-occurring pair gets an
-        idf^2 contribution (run detection + triu, the candidate_pairs trick),
-        reduced by a (id1, id2) keyed repartition;
-      norms: per edge (doc_id, idf^2), groupby-sum.
+      numerator parts: per token block, every co-occurring pair gets a
+        tf_i*tf_j*idf^2 contribution (run detection + triu, the
+        candidate_pairs trick), reduced by a (id1, id2) keyed repartition;
+      norms: per edge (doc_id, tf^2*idf^2), groupby-sum.
     Pairs the caller asked about that share no token get weight 0 (both
     endpoints token-free: 1.0) via left-outer joins.
     """
@@ -343,31 +385,44 @@ def verify_pairs_tfidf(
     from .blocking import explode_keys
     from .exchange import effective_partitions, stamp_schema as _stamp
 
+    if vectorizer not in ("tfidf", "tf", "boolean"):
+        raise ValueError(f"unknown vectorizer {vectorizer!r}")
+
     d = docs.select_columns([id_col, text_col]).rename_columns(
         {id_col: "doc_id", text_col: "text"}
     ).materialize()
     n_docs = d.count()
     num_partitions = effective_partitions(num_partitions)
-    parts = (
-        explode_keys(d, keyer="standard")
-        .repartition(num_partitions, keys=["key"])
-        .materialize()
-    )
+    if vectorizer == "tf":
+        edges = _token_tf_edges(d)
+    else:
+        edges = explode_keys(d, keyer="standard")
+    parts = edges.repartition(num_partitions, keys=["key"]).materialize()
+    use_idf = vectorizer == "tfidf"
 
     def _runs(batch: pa.Table):
-        """sorted (key, doc_id) + run boundaries; idf per run from df=len."""
+        """sorted (key, doc_id) + run boundaries; idf per run from df=len;
+        per-edge tf (all-ones for set-semantics vectorizers)."""
         idx = pc.sort_indices(
             batch, sort_keys=[("key", "ascending"), ("doc_id", "ascending")]
         )
         t = batch.take(idx)
         keys = t["key"].combine_chunks()
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = (
+            t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if "tf" in t.column_names
+            else np.ones(len(ids))
+        )
         neq = pc.not_equal(keys.slice(1), keys.slice(0, len(keys) - 1))
         bounds = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(ids)]])
-        idf = np.log((1.0 + n_docs) / (1.0 + (ends - starts))) + 1.0
-        return ids, starts, ends, idf
+        if use_idf:
+            idf = np.log((1.0 + n_docs) / (1.0 + (ends - starts))) + 1.0
+        else:
+            idf = np.ones(len(starts))
+        return ids, tf, starts, ends, idf
 
     def _pair_contribs(batch: pa.Table) -> pa.Table:
         schema = pa.schema(
@@ -375,16 +430,16 @@ def verify_pairs_tfidf(
         )
         if batch.num_rows == 0 or "key" not in batch.column_names:
             return schema.empty_table()
-        ids, starts, ends, idf = _runs(batch)
+        ids, tf, starts, ends, idf = _runs(batch)
         a_out, b_out, c_out = [], [], []
         for s, e, w2 in zip(starts, ends, idf * idf):
-            block = ids[s:e]  # distinct per doc by explode_keys contract
+            block = ids[s:e]  # distinct per doc by explode contract
             if block.size < 2:
                 continue
             iu, ju = np.triu_indices(block.size, k=1)
             a_out.append(block[iu])
             b_out.append(block[ju])
-            c_out.append(np.full(iu.size, w2))
+            c_out.append(w2 * tf[s:e][iu] * tf[s:e][ju])
         if not a_out:
             return schema.empty_table()
         return pa.table(
@@ -399,12 +454,14 @@ def verify_pairs_tfidf(
         schema = pa.schema([("doc_id", pa.int64()), ("idf2", pa.float64())])
         if batch.num_rows == 0 or "key" not in batch.column_names:
             return schema.empty_table()
-        ids, starts, ends, idf = _runs(batch)
+        ids, tf, starts, ends, idf = _runs(batch)
         lengths = ends - starts
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "idf2": pa.array(np.repeat(idf * idf, lengths), pa.float64()),
+                "idf2": pa.array(
+                    np.repeat(idf * idf, lengths) * tf * tf, pa.float64()
+                ),
             }
         )
 
@@ -450,19 +507,22 @@ def verify_pairs_tfidf(
     )
     # barriers between the joins: the nums pipeline is itself two shuffles;
     # streaming everything makes 5 exchanges run concurrently and starve
-    # each other's aggregator pools (see joins._with_similarity)
-    nums = nums.materialize()
-    joined = hash_join(
+    # each other's aggregator pools (see joins._with_similarity and
+    # exchange.barrier for the mode switch)
+    from .exchange import barrier
+
+    nums = barrier(nums)
+    joined = barrier(hash_join(
         pairs.select_columns(["id1", "id2"]), nums, on=("id1", "id2"),
         num_partitions=num_partitions, join_type="left outer",
         left_schema=ids_schema, right_schema=num_schema,
-    ).materialize()
-    joined = hash_join(
+    ))
+    joined = barrier(hash_join(
         joined, norms.rename_columns({"doc_id": "id1", "norm2": "n1"}),
         on=("id1",), num_partitions=num_partitions, join_type="left outer",
         left_schema=num_schema,
         right_schema=pa.schema([("id1", pa.int64()), ("n1", pa.float64())]),
-    ).materialize()
+    ))
     joined = hash_join(
         joined, norms.rename_columns({"doc_id": "id2", "norm2": "n2"}),
         on=("id2",), num_partitions=num_partitions, join_type="left outer",

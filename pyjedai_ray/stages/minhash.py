@@ -23,12 +23,13 @@ import ray.data
 
 from ..config import DedupConfig
 from ..functions.hashing import (
+    _segment_unique,
     band_hashes,
     hash64,
-    minhash_signature,
+    minhash_signatures_concat,
     perm_seeds,
-    shingle_hash_array,
-    simhash64,
+    shingle_hashes_batched,
+    simhash64_batched,
 )
 from ..functions.tokenize import token_sequence
 
@@ -48,44 +49,73 @@ class MinHashSigner:
         self._simhash_tok_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batch-level dictionary-encoded token hashing (VERDICT r2 #7):
+        tokenize per doc (per-string work), then ONE Arrow dictionary encode
+        over the whole batch's token stream, hash only the cache-missing
+        distinct tokens (blake2b loop over uniques, not occurrences), and
+        gather per-doc hash slices vectorized. Bit-identical to the per-row
+        path (shingle chaining + per-doc distinct-token simhash unchanged)."""
         cfg = self.cfg
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
         n = len(ids)
-        shingle_lists: list[np.ndarray] = []
-        sims = np.empty(n, dtype=np.uint64)
+        tok_lists = [token_sequence(t or "") for t in texts]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        flat = [t for toks in tok_lists for t in toks]
+
         sim_seed = cfg.seed ^ 0x51A4
-        sim_cache = self._simhash_tok_cache
-        for i, text in enumerate(texts):
-            toks = token_sequence(text or "")
-            shingle_lists.append(
-                shingle_hash_array(toks, cfg.shingle_k, cfg.seed, self._shingle_tok_cache)
+        if flat:
+            dic = pa.array(flat, pa.string()).dictionary_encode()
+            uniq = dic.dictionary.to_pylist()
+            indices = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            sh_cache = self._shingle_tok_cache
+            sim_cache = self._simhash_tok_cache
+            u_sh = np.empty(len(uniq), dtype=np.uint64)
+            u_sim = np.empty(len(uniq), dtype=np.uint64)
+            for j, t in enumerate(uniq):
+                h = sh_cache.get(t)
+                if h is None:
+                    h = hash64(t, cfg.seed)
+                    sh_cache[t] = h
+                u_sh[j] = h
+                h2 = sim_cache.get(t)
+                if h2 is None:
+                    h2 = hash64(t, sim_seed)
+                    sim_cache[t] = h2
+                u_sim[j] = h2
+            sh_concat, sh_offs = shingle_hashes_batched(
+                u_sh[indices], offs, cfg.shingle_k
             )
-            th = np.empty(0, dtype=np.uint64)
-            if toks:
-                distinct = set(toks)
-                th = np.empty(len(distinct), dtype=np.uint64)
-                for j, t in enumerate(distinct):
-                    h = sim_cache.get(t)
-                    if h is None:
-                        h = hash64(t, sim_seed)
-                        sim_cache[t] = h
-                    th[j] = h
-            sims[i] = simhash64(np.sort(th))
-        sigs = np.empty((n, cfg.num_perms), dtype=np.uint64)
-        for i, h in enumerate(shingle_lists):
-            sigs[i] = minhash_signature(h, self.seeds)
+            # distinct TOKENS (not hashes): unique dictionary codes per doc
+            # keep hash-collision multiplicity identical to the set(toks) path
+            doc_rep = np.repeat(np.arange(n), lens)
+            u_codes, sim_offs = _segment_unique(indices, doc_rep, n)
+            sims = simhash64_batched(u_sim[u_codes], sim_offs)
+        else:
+            sh_concat = np.array([], dtype=np.uint64)
+            sh_offs = np.zeros(n + 1, dtype=np.int64)
+            sims = np.zeros(n, dtype=np.uint64)
+        sigs = minhash_signatures_concat(sh_concat, sh_offs, self.seeds)
         bands = band_hashes(sigs, cfg.bands, cfg.rows, cfg.seed)
+        sh_bytes = sh_concat.tobytes()
+        n_shingles = (sh_offs[1:] - sh_offs[:-1]).astype(np.int32)
         # NOTE: hash columns are bit-reinterpreted int64 — Ray's hash shuffle
         # and Arrow joins key natively on int64 but degrade uint64 to pickled
         # python objects.
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "n_shingles": pa.array([len(s) for s in shingle_lists], pa.int32()),
+                "n_shingles": pa.array(n_shingles, pa.int32()),
                 # binary-encoded uint64 array: Acero joins carry binary payloads
                 # but reject list<> payload columns
-                "shingles": pa.array([s.tobytes() for s in shingle_lists], pa.binary()),
+                "shingles": pa.array(
+                    [
+                        sh_bytes[s * 8 : e * 8]
+                        for s, e in zip(sh_offs[:-1], sh_offs[1:])
+                    ],
+                    pa.binary(),
+                ),
                 "bands": pa.array([b.view(np.int64) for b in bands], pa.list_(pa.int64())),
                 "simhash": pa.array(sims.view(np.int64), pa.int64()),
             }

@@ -194,3 +194,23 @@ def test_cut_clustering_small_alpha_keeps_component():
     pairs = _wpairs([(1, 2, 0.9), (2, 3, 0.9)])
     out = _as_map(cut_clustering(pairs, threshold=0.5, alpha=0.01))
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_driver_clusterer_edge_cap_raises():
+    from pyjedai_ray.stages.clustering import unique_mapping_clustering, _sorted_edges
+
+    pairs = _wpairs([(i, i + 100, 0.9) for i in range(10)])
+    with pytest.raises(ValueError, match="driver-side clusterer cap"):
+        _sorted_edges(pairs, threshold=0.5, max_edges=5)
+    # below the cap everything still works
+    out = unique_mapping_clustering(pairs, threshold=0.5)
+    assert out.count() == 10
+
+
+def test_driver_clusterer_cap_counts_post_filter():
+    from pyjedai_ray.stages.clustering import _sorted_edges
+
+    # 10 edges but only 3 above threshold: pre-filter keeps us under the cap
+    pairs = _wpairs([(i, i + 100, 0.9 if i < 3 else 0.1) for i in range(10)])
+    edges = _sorted_edges(pairs, threshold=0.5, max_edges=5)
+    assert len(edges) == 3

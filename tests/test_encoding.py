@@ -95,3 +95,33 @@ def test_embeddings_nn_blocking_probe_subset(ray_session):
     out = embeddings_nn_blocking(docs, query_ids=np.array([0, 1]), k=3, dim=32, n_clusters=2)
     qids = {r["query_id"] for r in out.take_all()}
     assert qids <= {0, 1}
+
+
+def test_embeddings_nn_blocking_hot_cell_raises(ray_session):
+    import pytest
+
+    from pyjedai_ray.stages.encoding import embeddings_nn_blocking
+
+    # one k-means cell (n_clusters=1) holding all 8 docs blows the cap
+    docs = _docs([(i, f"shared prefix words document number {i}") for i in range(8)])
+    with pytest.raises(Exception, match="max_bucket"):
+        embeddings_nn_blocking(
+            docs, k=2, dim=32, n_clusters=1, max_bucket=4
+        ).materialize()
+
+
+def test_encoder_model_config_plumbing(ray_session):
+    import pytest
+
+    from pyjedai_ray.stages.encoding import TextEncoder, encode_texts
+
+    # the real-model path raises with the configured checkpoint name (no
+    # torch in this container) — the knob is threaded, not swallowed
+    with pytest.raises(NotImplementedError, match="my-model"):
+        TextEncoder(use_stub=False, model="my-model")
+    # stub path threads model/num_gpus through map_batches without error
+    docs = _docs([(i, f"document {i}") for i in range(4)])
+    out = encode_texts(
+        docs, dim=16, model="stub-encoder", num_gpus=0.0, concurrency=2
+    )
+    assert out.count() == 4

@@ -295,3 +295,21 @@ def test_explode_keys_vectorized_matches_loop():
         for k in standard_tokens(text)
     }
     assert got2 == want2
+
+
+def test_pe_topk_join_overlapping_ids_raise():
+    import pytest
+    import ray.data
+
+    from pyjedai_ray.stages.joins import pe_topk_join
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["a b", "b c", "c d"],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    # same id space on both sides: the dataset_limit split is violated
+    with pytest.raises(ValueError, match="disjoint ordered id spaces"):
+        pe_topk_join(ds, ds, k=1)
