@@ -62,7 +62,7 @@ def run_headline(num_cpus: int) -> dict:
         verify_mode="auto",
         cluster_mode="driver",
         num_partitions=nparts,
-        signer_batch_size=512,
+        signer_batch_size=256,
     )
     n_clustered = res["clusters"].count()
     wall = time.time() - t0
@@ -92,7 +92,7 @@ def run_query_suite(num_cpus: int) -> dict:
 
     t0 = time.time()
     cfg = DedupConfig()
-    sigs = minhash.sign(docs, cfg, batch_size=512).materialize()
+    sigs = minhash.sign(docs, cfg, batch_size=256).materialize()
     out["minhash_sign"] = round(time.time() - t0, 3)
 
     t0 = time.time()

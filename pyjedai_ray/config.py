@@ -56,7 +56,7 @@ class RuntimeConfig:
     """Per-stage Ray execution knobs (sized for a 32-cpu node; scale by
     setting concurrency ~ cluster cpus - 2 for cpu-bound actor stages)."""
 
-    signer_batch_size: int = 1024
+    signer_batch_size: int = 256
     signer_concurrency: int | None = None   # None -> Ray autoscales tasks
     verify_batch_size: int = 4096
     pair_group_batch: int = 65536

@@ -68,7 +68,7 @@ def run_webdedup(
     out_dir: str | None = None,
     resume: bool = True,
     num_partitions: int = 32,
-    signer_batch_size: int = 1024,
+    signer_batch_size: int = 256,
     signer_concurrency=None,
     verify_mode: str = "auto",
     cluster_mode: str = "auto",

@@ -80,7 +80,7 @@ def minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 32,
-    signer_batch_size: int = 1024,
+    signer_batch_size: int = 256,
     signer_concurrency=None,
     cluster_mode: str = "auto",
     verify_mode: str = "auto",

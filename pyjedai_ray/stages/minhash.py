@@ -127,10 +127,15 @@ def sign(
     cfg: DedupConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
-    batch_size: int = 1024,
+    batch_size: int = 256,
     concurrency=None,
 ) -> ray.data.Dataset:
-    """docs -> signature Dataset (actor pool when concurrency given)."""
+    """docs -> signature Dataset (actor pool when concurrency given).
+
+    batch_size default measured at 640k docs / 32 cpus: 256 ≈ 128 < 512 <
+    1024 < 2048 wall time — finer blocks pipeline better through the actor
+    pool and bound straggler tasks on loaded hosts; the batched kernels
+    amortize fully by ~256 rows."""
     if concurrency is None:
         # actor pool sized to the node: leave 2 cpus for the driver/shuffle
         import ray
