@@ -190,3 +190,69 @@ def test_multiset_tokenizers():
     assert len(a & b) == 1
     g = qgram_multiset_keys("abab", q=2)
     assert g == sorted(["ab#0", "ba#0", "ab#1"])
+
+
+# ---- batched hashing kernels vs per-doc reference (property-based) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.text(alphabet="ab cd1 ", min_size=0, max_size=60), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_texts, st.integers(min_value=1, max_value=7))
+def test_shingle_hashes_batched_matches_per_doc(texts, k):
+    import numpy as np
+
+    from pyjedai_ray.functions.hashing import (
+        hash64,
+        shingle_hash_array,
+        shingle_hashes_batched,
+    )
+    from pyjedai_ray.functions.tokenize import token_sequence
+
+    tok_lists = [token_sequence(t) for t in texts]
+    cache: dict = {}
+    th_all = np.array(
+        [cache.setdefault(t, hash64(t, 7)) for toks in tok_lists for t in toks],
+        dtype=np.uint64,
+    )
+    offs = np.concatenate([[0], np.cumsum([len(t) for t in tok_lists])]).astype(np.int64)
+    got_v, got_offs = shingle_hashes_batched(th_all, offs, k)
+    for i, toks in enumerate(tok_lists):
+        want = shingle_hash_array(toks, k, 7, cache)
+        got = got_v[got_offs[i] : got_offs[i + 1]]
+        assert np.array_equal(got, want), (i, toks)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=20),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_simhash_and_minhash_batched_match_per_doc(hash_lists):
+    import numpy as np
+
+    from pyjedai_ray.functions.hashing import (
+        minhash_signature,
+        minhash_signatures_concat,
+        perm_seeds,
+        simhash64,
+        simhash64_batched,
+    )
+
+    arrs = [np.array(sorted(set(h)), dtype=np.uint64) for h in hash_lists]
+    concat = np.concatenate(arrs) if arrs else np.array([], dtype=np.uint64)
+    offs = np.concatenate([[0], np.cumsum([a.size for a in arrs])]).astype(np.int64)
+    sims = simhash64_batched(concat, offs)
+    seeds = perm_seeds(16, 42)
+    sigs = minhash_signatures_concat(concat, offs, seeds)
+    for i, a in enumerate(arrs):
+        assert int(sims[i]) == simhash64(a)
+        assert np.array_equal(sigs[i], minhash_signature(a, seeds))

@@ -114,3 +114,31 @@ def test_llm_stub_deterministic():
     a = llm_verify_stub(pairs, docs, num_partitions=2).take_all()
     b = llm_verify_stub(pairs, docs, num_partitions=2).take_all()
     assert a == b and 0.0 <= a[0]["weight"] < 1.0
+
+
+def test_tf_and_boolean_vectorizers_hand_computed():
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from pyjedai_ray.stages.matching import verify_pairs_tfidf
+
+    # doc0: a a b ; doc1: a b b  -> tf vectors (2,1) / (1,2); boolean (1,1)/(1,1)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a a b", "a b b"], pa.string()),
+            }
+        )
+    )
+    pairs = ray.data.from_arrow(
+        pa.table({"id1": pa.array([0], pa.int64()), "id2": pa.array([1], pa.int64())})
+    )
+    tf = verify_pairs_tfidf(pairs, docs, vectorizer="tf", num_partitions=2).take_all()
+    assert len(tf) == 1
+    # cos((2,1),(1,2)) = (2+2)/5 = 0.8
+    assert math.isclose(tf[0]["weight"], 0.8, abs_tol=1e-12)
+    bo = verify_pairs_tfidf(pairs, docs, vectorizer="boolean", num_partitions=2).take_all()
+    assert math.isclose(bo[0]["weight"], 1.0, abs_tol=1e-12)
