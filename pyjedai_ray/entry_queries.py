@@ -979,6 +979,75 @@ def q_row_column_fixture(sf_dir: str):
     )
 
 
+def q_psn_fixture(sf_dir: str):
+    """PSN window machinery on singleton blocks (one distinct key per doc,
+    key order = doc_id order): the global-position ranking, growing windows
+    and chunk-boundary overlap are exercised with the seeded within-block
+    shuffle rendered irrelevant (every block has one entity), so the exact
+    output is SQL-closed-form: pairs at distance 1..max_window, weight 1."""
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.schema([("key", pa.string()), ("doc_id", pa.int64())]).empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array([f"k{int(i):08d}" for i in ids], pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    edges = _docs(sf_dir, ["doc_id"]).map_batches(_edges, batch_format="pyarrow")
+    return meta_blocking.sorted_neighborhood_pairs(edges, window=1, max_window=3)
+
+
+def q_edit_similarity(sf_dir: str):
+    """Edit-distance metrics (matching.py:20-28 Levenshtein/Jaro) as a
+    value-exact query: per consecutive doc pair, normalized Levenshtein
+    similarity and Jaro similarity of the 40-char text prefixes."""
+    from .functions.similarity import jaro, levenshtein_sim
+
+    d = _docs(sf_dir, ["doc_id", "text"]).sort("doc_id")
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()),
+             ("lev", pa.float64()), ("jaro", pa.float64())]
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return schema.empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out1, out2, lv, jr = [], [], [], []
+        by_id = dict(zip(ids.tolist(), texts))
+        r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # DuckDB half-away
+        for i in ids.tolist():
+            if i % 2 == 0 and (i + 1) in by_id:
+                a = (by_id[i] or "")[:40]
+                b = (by_id[i + 1] or "")[:40]
+                out1.append(i)
+                out2.append(i + 1)
+                lv.append(r6(levenshtein_sim(a, b)))
+                jr.append(r6(jaro(a, b)))
+        return pa.table(
+            {
+                "id1": pa.array(out1, pa.int64()),
+                "id2": pa.array(out2, pa.int64()),
+                "lev": pa.array(lv, pa.float64()),
+                "jaro": pa.array(jr, pa.float64()),
+            }
+        )
+
+    # repartition by pair group so both members of each (2g, 2g+1) pair land
+    # in one batch (the consecutive-pair fixture needs both rows together)
+    def _grp(batch: pa.Table) -> pa.Table:
+        g = batch["doc_id"].to_numpy(zero_copy_only=False) // 2
+        return batch.append_column("grp", pa.array(g, pa.int64()))
+
+    grouped = d.map_batches(_grp, batch_format="pyarrow").repartition(8, keys=["grp"])
+    return grouped.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+
+
 # ------------------------------------------------ consolidated weight query --
 
 _WEIGHT_SCHEME_QUERIES = {
@@ -1009,6 +1078,35 @@ def q_weight_schemes(sf_dir: str):
         tagged = ds.map_batches(_tag, batch_format="pyarrow")
         out = tagged if out is None else out.union(tagged)
     return out
+
+
+def _tag_union(parts):
+    """Union datasets with a leading string tag column."""
+    out = None
+    for tag, ds in parts:
+        def _tag(batch: pa.Table, tag=tag) -> pa.Table:
+            return batch.add_column(
+                0, "strategy", pa.array([tag] * batch.num_rows, pa.string())
+            )
+
+        tagged = ds.map_batches(_tag, batch_format="pyarrow")
+        out = tagged if out is None else out.union(tagged)
+    return out
+
+
+def q_progressive_strategies(sf_dir: str):
+    """DatasetScheduler DFS / BFS / HB emission orders (utils.py:542-595) in
+    one result (strategy, id1, id2, weight) — one driver-correctness row for
+    the whole emission family."""
+    return _tag_union(
+        (s, _q_progressive_strategy(sf_dir, s)) for s in ("BFS", "DFS", "HB")
+    )
+
+
+def q_nn_bpm_emission(sf_dir: str):
+    """EmbeddingsNNBPM HB + TOP emission layers (prioritization.py:659-746)
+    in one result (strategy, id1, id2, weight)."""
+    return _tag_union((("HB", q_nn_bpm_hb(sf_dir)), ("TOP", q_nn_bpm_top(sf_dir))))
 
 
 def q_tf_boolean_weights(sf_dir: str):
@@ -1069,9 +1167,7 @@ def queries():
         "rwnp_cbs": q_rwnp_cbs,
         "progressive_top": q_progressive_top,
         "progressive_local_top": q_progressive_local_top,
-        "progressive_dfs": q_progressive_dfs,
-        "progressive_bfs": q_progressive_bfs,
-        "progressive_hb": q_progressive_hb,
+        "progressive_strategies": q_progressive_strategies,
         "ejoin": q_ejoin,
         "ejoin_multiset": q_ejoin_multiset,
         "topk_join": q_topk_join,
@@ -1083,8 +1179,10 @@ def queries():
         "vector_verify": q_vector_verify,
         "knn_embeddings": q_knn_embeddings,
         "embedding_neardup": q_embedding_neardup,
-        "nn_bpm_hb": q_nn_bpm_hb,
-        "nn_bpm_top": q_nn_bpm_top,
+        "nn_bpm_emission": q_nn_bpm_emission,
+        "edit_similarity": q_edit_similarity,
+        "psn_fixture": q_psn_fixture,
+        "extended_qgram_blocking": q_extended_qgram_blocking,
         "kiraly_clusters": q_kiraly_clusters,
         "best_match_pairs": q_best_match_pairs,
         "unique_mapping_fixture": q_unique_mapping_fixture,
@@ -1121,9 +1219,13 @@ def queries():
         "cut_clusters": q_cut_clusters,
         "random_sample_pairs": q_random_sample_pairs,
         "substring_dedup": q_substring_dedup,
-        "extended_qgram_blocking": q_extended_qgram_blocking,
-        # individual weight schemes (each also inside weight_schemes above;
-        # kept registered with their own oracles for API completeness)
+        # individual members of in-window consolidated queries (each also has
+        # its own oracle; kept registered for API completeness)
+        "progressive_dfs": q_progressive_dfs,
+        "progressive_bfs": q_progressive_bfs,
+        "progressive_hb": q_progressive_hb,
+        "nn_bpm_hb": q_nn_bpm_hb,
+        "nn_bpm_top": q_nn_bpm_top,
         "js_weights": q_js_weights,
         "ecbs_weights": q_ecbs_weights,
         "x2_weights": q_x2_weights,
@@ -1663,6 +1765,64 @@ def oracle_sql():
             ORDER BY weight DESC, id1, id2 LIMIT 40
         """,
     }
+
+    # consolidated emission-strategy queries: UNION ALL of the per-strategy
+    # oracles (verbatim, as derived tables) with a strategy tag
+    d["progressive_strategies"] = "\nUNION ALL\n".join(
+        f"SELECT '{s}' AS strategy, id1, id2, weight FROM ({d['progressive_' + s.lower()]})"
+        for s in ("BFS", "DFS", "HB")
+    )
+    d["nn_bpm_emission"] = "\nUNION ALL\n".join(
+        f"SELECT '{s}' AS strategy, id1, id2, weight FROM ({d['nn_bpm_' + s.lower()]})"
+        for s in ("HB", "TOP")
+    )
+
+    # PSN on singleton blocks (one key per doc, key order = id order): the
+    # exact output is all pairs at position distance 1..max_window, weight 1
+    d["psn_fixture"] = """
+        WITH n AS (SELECT count(*) AS N FROM documents)
+        SELECT doc_id AS id1, doc_id + d.d AS id2, CAST(1 AS BIGINT) AS weight
+        FROM documents, n, UNNEST([1, 2, 3]) AS d(d)
+        WHERE doc_id + d.d < N
+    """
+
+    # edit metrics over consecutive-doc 40-char prefixes; DuckDB's
+    # levenshtein/jaro_similarity vs our from-scratch kernels, 6dp half-away
+    d["edit_similarity"] = """
+        WITH p AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 substr(a.text, 1, 40) AS s1, substr(b.text, 1, 40) AS s2
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 2 = 0
+        )
+        SELECT id1, id2,
+               round(CASE WHEN s1 = s2 THEN 1.0
+                          WHEN length(s1) = 0 OR length(s2) = 0 THEN 0.0
+                          ELSE 1.0 - CAST(levenshtein(s1, s2) AS DOUBLE)
+                                     / greatest(length(s1), length(s2)) END, 6) AS lev,
+               round(CASE WHEN s1 = s2 THEN 1.0
+                          WHEN length(s1) = 0 OR length(s2) = 0 THEN 0.0
+                          ELSE jaro_similarity(s1, s2) END, 6) AS jaro
+        FROM p
+    """
+
+    # extended q-gram keys: EXACT for this corpus shape (max token length 8
+    # -> at most 3 q-grams per token -> round(0.95*L) = L, so the only
+    # combination is the full gram concatenation; tokens shorter than q key
+    # as themselves). The Ray side computes the general combinatorial
+    # semantics (functions/tokenize.py:extended_qgram_keys).
+    d["extended_qgram_blocking"] = toks + """,
+        keys AS (
+          SELECT DISTINCT doc_id,
+            CASE WHEN length(token) < 6 THEN token
+                 ELSE array_to_string(
+                        list_transform(generate_series(1, length(token) - 5),
+                                       i -> substr(token, i, 6)), '') END AS key
+          FROM toks
+        )
+        SELECT key, count(*) AS block_size FROM keys GROUP BY key
+        HAVING count(*) >= 2
+    """
 
     # consolidated weight-scheme query: UNION ALL of the nine per-scheme
     # oracles (verbatim, as derived tables) with a scheme tag
