@@ -236,16 +236,6 @@ def minhash_signature(shingle_hashes: np.ndarray, seeds: np.ndarray) -> np.ndarr
     return mixed.min(axis=1)
 
 
-def minhash_signatures_batch(
-    hash_lists: list[np.ndarray], seeds: np.ndarray
-) -> np.ndarray:
-    """Signatures for a batch of docs -> (n_docs, num_perms) uint64."""
-    out = np.empty((len(hash_lists), seeds.shape[0]), dtype=U64)
-    for i, h in enumerate(hash_lists):
-        out[i] = minhash_signature(h, seeds)
-    return out
-
-
 def band_hashes(signatures: np.ndarray, bands: int, rows: int, seed: int) -> np.ndarray:
     """LSH band keys: fold each band's r signature values into one uint64.
 
