@@ -55,12 +55,22 @@ def write_stage(
             {"file": name, "rows": meta.num_rows, "bytes": os.path.getsize(path)}
         )
         total += meta.num_rows
+    schema = None
+    if partitions:
+        schema = [
+            f.name
+            for f in pq.ParquetFile(
+                os.path.join(stage_dir, partitions[0]["file"])
+            ).schema_arrow
+        ]
     manifest = {
         "stage": stage,
         "config_hash": config_hash,
         "input_manifest": input_manifest,
         "row_count": total,
         "partitions": partitions,
+        "schema": schema,
+        "written_at": __import__("time").time(),
         "metrics": metrics or {},
     }
     with open(_manifest_path(stage_dir), "w") as f:
@@ -109,10 +119,23 @@ def load_or_compute(
 ) -> tuple[ray.data.Dataset, str]:
     """Return (dataset, lineage-chain-hash); reads the checkpoint when its
     manifest validates, else computes + writes it."""
+    import time
+
     stage_dir = os.path.join(base_dir, stage)
     chain = chain_hash(config_hash, input_manifest)
     if resume and manifest_valid(stage_dir, config_hash, input_manifest):
         return ray.data.read_parquet(stage_dir), chain
+    t0 = time.time()
     ds = compute()
-    write_stage(ds, stage_dir, stage, config_hash, input_manifest, metrics)
+    m = dict(metrics or {})
+    m.setdefault("compute_plus_write_sec", None)
+    write_stage(ds, stage_dir, stage, config_hash, input_manifest, m)
+    # stamp the measured wall time after the write completes (the write
+    # triggers execution, so this covers compute + sink)
+    m["compute_plus_write_sec"] = round(time.time() - t0, 3)
+    mf = read_manifest(stage_dir)
+    if mf is not None:
+        mf["metrics"] = m
+        with open(_manifest_path(stage_dir), "w") as f:
+            json.dump(mf, f, indent=1)
     return ray.data.read_parquet(stage_dir), chain

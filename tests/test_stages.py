@@ -313,3 +313,19 @@ def test_pe_topk_join_overlapping_ids_raise():
     # same id space on both sides: the dataset_limit split is violated
     with pytest.raises(ValueError, match="disjoint ordered id spaces"):
         pe_topk_join(ds, ds, k=1)
+
+
+def test_checkpoint_manifest_carries_schema_and_timing(tmp_path):
+    import ray.data
+
+    from pyjedai_ray.pipelines import checkpoint as ckpt
+
+    ds = ray.data.from_items([{"doc_id": i, "v": i * 2} for i in range(10)])
+    out, chain = ckpt.load_or_compute(
+        str(tmp_path), "stage_a", "cfg1", "", lambda: ds
+    )
+    m = ckpt.read_manifest(str(tmp_path / "stage_a"))
+    assert m["row_count"] == 10
+    assert sorted(m["schema"]) == ["doc_id", "v"]
+    assert m["written_at"] > 0
+    assert m["metrics"]["compute_plus_write_sec"] >= 0
