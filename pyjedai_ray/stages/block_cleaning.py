@@ -27,6 +27,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum, Unique
 
+from . import blocking as blocking_stage
 from .blocking import block_sizes
 from .exchange import ensure_context, hash_join, stamp_schema
 
@@ -82,7 +83,7 @@ def block_purging(
 ) -> tuple[ray.data.Dataset, int]:
     """Edge list -> (purged edge list, threshold). Blocks with cardinality
     above the auto threshold are dropped (all their edge rows filtered out)."""
-    eschema = edges.schema().base_schema
+    eschema = blocking_stage.edges_schema(edges)
     sized = _with_cardinality(block_sizes(edges)).materialize()
     threshold = purging_threshold(sized, smoothing_factor)
     keep = sized.filter(expr=f"cardinality <= {threshold}").select_columns(["key"])
@@ -110,7 +111,7 @@ def block_filtering(
     """Keep each entity in the round(ratio*n) smallest of its blocks, then
     drop blocks left with < 2 entities. Two groupby shuffles + one join."""
     ensure_context()
-    eschema = edges.schema().base_schema
+    eschema = blocking_stage.edges_schema(edges)
     # materialize the (small, per-distinct-key) size table so its groupby
     # exchange completes before the join exchange starts — concurrent
     # hash-shuffle operators starve each other (joins._with_similarity)
@@ -163,7 +164,10 @@ def block_filtering(
             {"key": pa.array(out_keys, pa.string()), "doc_id": pa.array(out_ids, pa.int64())}
         )
 
-    kept = per_doc.map_batches(_cut, batch_format="pyarrow").materialize()
+    kept = stamp_schema(
+        per_doc.map_batches(_cut, batch_format="pyarrow"),
+        pa.schema([("key", pa.string()), ("doc_id", pa.int64())]),
+    ).materialize()
     sizes2 = block_sizes(kept).materialize()  # barrier before the join exchange
     keep_keys = sizes2.filter(expr="block_size >= 2").select_columns(["key"])
     return hash_join(

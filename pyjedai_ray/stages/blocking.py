@@ -107,10 +107,28 @@ def explode_keys(
     return ds.map_batches(_explode_standard, batch_format="pyarrow")
 
 
+def edges_schema(edges: ray.data.Dataset) -> pa.Schema:
+    """Edge-list schema, robust to Ray's schema-derivation giving up (seen on
+    map_batches chains over stamped unions when intermediate results are
+    empty/degenerate — Dataset.schema() returns None): fall back to probing
+    the first non-empty block, then to the canonical (key:string,
+    doc_id:int64) edge shape."""
+    sch = edges.schema()
+    base = getattr(sch, "base_schema", None) if sch is not None else None
+    if base is not None and "key" in base.names:
+        return base
+    from .exchange import probe_schema
+
+    _, probed = probe_schema(edges)
+    if probed is not None and "key" in probed.names:
+        return probed
+    return pa.schema([("key", pa.string()), ("doc_id", pa.int64())])
+
+
 def block_sizes(edges: ray.data.Dataset) -> ray.data.Dataset:
     """(key, block_size) — groupby count over the edge list."""
     ensure_context()
-    key_type = edges.schema().base_schema.field("key").type
+    key_type = edges_schema(edges).field("key").type
     out = edges.groupby("key").aggregate(Count(alias_name="block_size"))
     return stamp_schema(out, pa.schema([("key", key_type), ("block_size", pa.int64())]))
 
@@ -119,7 +137,7 @@ def collect_blocks(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Edge list -> blocks table (key, ids:list<int64>, block_size). One
     groupby; the distributed analog of the reference's token->Block dict."""
     ensure_context()
-    key_type = edges.schema().base_schema.field("key").type
+    key_type = edges_schema(edges).field("key").type
     out = edges.groupby("key").aggregate(
         Unique("doc_id", alias_name="ids"), Count(alias_name="block_size")
     )
@@ -142,7 +160,7 @@ def blocks_with_sizes(
     semantics (src/pyjedai/utils.py:85-122)."""
     from .exchange import barrier
 
-    eschema = edges.schema().base_schema
+    eschema = edges_schema(edges)
     sizes = barrier(block_sizes(edges))  # barrier before the join exchange
     keep = sizes.filter(expr=f"block_size >= {min_size}")
     if max_size is not None:

@@ -110,7 +110,8 @@ def _sorted_edges(
     (every serial clusterer admits strictly-above-threshold edges only), and
     a post-filter edge count above ``max_edges`` raises instead of OOMing
     the driver — mirroring DRIVER_EDGE_LIMIT in connected_components."""
-    if threshold is not None and "weight" in pairs.columns():
+    cols = pairs.columns()  # None when Ray's schema derivation gives up
+    if threshold is not None and (cols is None or "weight" in cols):
         pairs = pairs.filter(expr=f"weight > {threshold!r}")
     n = pairs.count()
     if n > max_edges:
