@@ -457,6 +457,49 @@ class PETopKJoin:
         return _export_pairs(pairs, data)
 
 
+# --------------------------------------------------------------- evaluation --
+
+
+class Evaluation:
+    """Reference ``Evaluation`` (evaluation.py:54-79): P/R/F1 of a predicted
+    pair or cluster result against ``Data.ground_truth`` (original-id pairs,
+    stringified + deduped like datamodel.py:158-160)."""
+
+    def __init__(self, data: Data):
+        if data.ground_truth is None:
+            raise ValueError("Data was constructed without ground_truth")
+        self.data = data
+        gt = data.ground_truth.astype(str).drop_duplicates()
+        back = {orig: i for i, orig in enumerate(data._orig_ids[: data.dataset_limit])}
+        back2 = (
+            {orig: i + data.dataset_limit
+             for i, orig in enumerate(data._orig_ids[data.dataset_limit:])}
+            if not data.is_dirty_er else back
+        )
+        c1, c2 = gt.columns[:2]
+        self._gt = ray.data.from_arrow(
+            pa.table(
+                {
+                    "id1": pa.array([back[v] for v in gt[c1]], pa.int64()),
+                    "id2": pa.array([back2[v] for v in gt[c2]], pa.int64()),
+                }
+            )
+        )
+
+    def report(self, prediction: ray.data.Dataset) -> dict:
+        """prediction: (id1, id2[, weight]) pairs or (doc_id, cluster_id)
+        clusters; returns the reference's P/R/F1 counters."""
+        from .stages import evaluate as ev
+
+        cols = prediction.columns() or []
+        pairs = (
+            ev.clusters_to_pairs(prediction, _DEFAULT_PARTITIONS)
+            if "cluster_id" in cols
+            else prediction
+        )
+        return ev.evaluate_pairs(pairs, self._gt, _DEFAULT_PARTITIONS)
+
+
 # --------------------------------------------------------------- clustering --
 
 

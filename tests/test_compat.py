@@ -157,3 +157,27 @@ def test_meta_blocking_family_runs():
     ):
         assert cls().process(blocks, data).count() >= 0, cls.__name__
     assert ProgressiveCardinalityEdgePruning(budget=3).process(blocks, data).count() <= 3
+
+
+def test_evaluation_report_pr_f1():
+    from pyjedai_ray.compat import Data, EJoin, Evaluation
+
+    d1 = pd.DataFrame(
+        {
+            "id": ["a1", "a2"],
+            "t": ["alpha beta gamma delta", "epsilon zeta eta theta"],
+        }
+    )
+    d2 = pd.DataFrame(
+        {
+            "id": ["b1", "b2"],
+            "t": ["alpha beta gamma delta", "iota kappa lambda mu"],
+        }
+    )
+    gt = pd.DataFrame({"d1": ["a1"], "d2": ["b1"]})
+    data = Data(d1, "id", ["t"], dataset_2=d2, id_column_name_2="id", ground_truth=gt)
+    pairs = EJoin(similarity_threshold=0.9, tokenization="standard").fit(data)
+    rep = Evaluation(data).report(pairs)
+    assert rep["true_positives"] == 1
+    assert rep["recall"] == 1.0
+    assert rep["precision"] == 1.0
