@@ -457,6 +457,111 @@ class PETopKJoin:
         return _export_pairs(pairs, data)
 
 
+# ------------------------------------------------------------ prioritization --
+
+
+class _ProgressiveMatcher:
+    """Shared shape for the reference's ProgressiveMatching family
+    (prioritization.py:115-372): ``predict(blocks, data, budget)`` emits a
+    budget-limited (id1, id2, weight) pair Dataset in priority order."""
+
+    def __init__(self, weighting_scheme: str = "JS", budget: int = 0):
+        self.weighting_scheme = _SCHEME_MAP.get(weighting_scheme, weighting_scheme)
+        self.budget = budget
+
+    def predict(self, blocks: ray.data.Dataset, data: Data | None = None,
+                budget: int | None = None):
+        b = self.budget if budget is None else budget
+        w = _weighted(blocks, self.weighting_scheme, data)
+        return self._emit(w, blocks, data, b)
+
+
+class GlobalTopPM(_ProgressiveMatcher):
+    """prioritization.py:506-561."""
+
+    def _emit(self, w, blocks, data, budget):
+        return meta_blocking.progressive_top(w, budget=budget)
+
+
+class LocalTopPM(_ProgressiveMatcher):
+    """prioritization.py:563-619."""
+
+    def _emit(self, w, blocks, data, budget):
+        n = data.num_entities if data is not None else None
+        return meta_blocking.progressive_local_top(w, blocks, budget=budget, num_entities=n)
+
+
+class RandomPM(_ProgressiveMatcher):
+    """prioritization.py:952-985 (seeded random comparison sample)."""
+
+    def __init__(self, fraction: float = 0.5, seed: int = 42):
+        super().__init__("CBS", 0)
+        self.fraction, self.seed = fraction, seed
+
+    def _emit(self, w, blocks, data, budget):
+        return meta_blocking.random_pairs(w, self.fraction, seed=self.seed)
+
+
+class GlobalPSNM:
+    """prioritization.py:872-911 (global progressive sorted neighborhood)."""
+
+    def __init__(self, budget: int = 0, window: int = 2, max_window: int | None = None):
+        self.budget, self.window, self.max_window = budget, window, max_window
+
+    def predict(self, blocks: ray.data.Dataset, data: Data | None = None,
+                budget: int | None = None):
+        return meta_blocking.global_psnm(
+            blocks, self.budget if budget is None else budget,
+            window=self.window, max_window=self.max_window,
+        )
+
+
+class LocalPSNM(GlobalPSNM):
+    """prioritization.py:913-951."""
+
+    def predict(self, blocks, data=None, budget=None):
+        return meta_blocking.local_psnm(
+            blocks, self.budget if budget is None else budget,
+            window=self.window, max_window=self.max_window,
+        )
+
+
+class TopKJoinPM:
+    """prioritization.py:1090-1360 (top-k join neighborhoods through the
+    DatasetScheduler emission order)."""
+
+    def __init__(self, K: int = 5, budget: int = 0, algorithm: str = "HB",
+                 metric: str = "cosine", tokenization: str = "standard"):
+        self.K, self.budget = K, budget
+        self.algorithm, self.metric, self.tokenization = algorithm, metric, tokenization
+
+    def predict(self, data: Data, budget: int | None = None):
+        return joins.topk_join_pm(
+            data.docs, self.budget if budget is None else budget,
+            k=self.K, strategy=self.algorithm, metric=self.metric,
+            tokenization=self.tokenization, num_partitions=_DEFAULT_PARTITIONS,
+        )
+
+
+class EmbeddingsNNBPM:
+    """prioritization.py:622-842 (encode -> quantize -> bucket kNN ->
+    TOP/DFS/BFS/HB emission; encoder kernel stubbed in this environment)."""
+
+    def __init__(self, budget: int = 0, algorithm: str = "HB", top_k: int = 5,
+                 dim: int = 64, n_clusters: int = 8):
+        self.budget, self.algorithm, self.top_k = budget, algorithm, top_k
+        self.dim, self.n_clusters = dim, n_clusters
+
+    def predict(self, data: Data, budget: int | None = None):
+        from .stages.encoding import embeddings_nn_bpm
+
+        return embeddings_nn_bpm(
+            data.docs, self.budget if budget is None else budget,
+            strategy=self.algorithm, k=self.top_k, dim=self.dim,
+            n_clusters=self.n_clusters,
+        )
+
+
 # --------------------------------------------------------------- evaluation --
 
 

@@ -181,3 +181,26 @@ def test_evaluation_report_pr_f1():
     assert rep["true_positives"] == 1
     assert rep["recall"] == 1.0
     assert rep["precision"] == 1.0
+
+
+def test_progressive_matcher_family():
+    from pyjedai_ray.compat import (
+        Data,
+        EmbeddingsNNBPM,
+        GlobalPSNM,
+        GlobalTopPM,
+        LocalTopPM,
+        RandomPM,
+        StandardBlocking,
+        TopKJoinPM,
+    )
+
+    data = _ccer_data()
+    blocks = StandardBlocking().build_blocks(data)
+    top = GlobalTopPM(budget=3).predict(blocks, data)
+    assert top.count() <= 3
+    assert LocalTopPM(budget=3).predict(blocks, data).count() <= 3
+    assert RandomPM(fraction=1.0).predict(blocks, data).count() > 0
+    assert GlobalPSNM(budget=4, window=1).predict(blocks, data).count() <= 4
+    assert TopKJoinPM(K=2, budget=4).predict(data).count() <= 4
+    assert EmbeddingsNNBPM(budget=4, n_clusters=2, dim=16).predict(data).count() <= 4
