@@ -274,6 +274,7 @@ def embeddings_nn_blocking(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 100_000,
+    oversize_mode: str = "raise",
 ) -> ray.data.Dataset:
     """End-to-end EmbeddingsNNBlockBuilding: encode -> k-means quantize ->
     IVF top-k — no pre-existing label/bucket column required
@@ -283,11 +284,18 @@ def embeddings_nn_blocking(
     default) — distributed: repartition by coarse cell, per-partition
     bucket-local matmul + vectorized top-k; nothing corpus-sized touches the
     driver. A small explicit probe set goes through ann.ivf_knn (broadcast
-    queries). A coarse cell above ``max_bucket`` rows raises rather than
-    silently running an O(b^2) matmul — a skewed k-means cell is the vector
-    path's hot LSH key (same guard as ann.embedding_neardup); re-fit with
-    more clusters or raise max_bucket deliberately.
+    queries).
+
+    A coarse cell above ``max_bucket`` rows is the vector path's hot LSH key
+    (same guard as ann.embedding_neardup): oversize_mode="raise" (default)
+    refuses the O(b^2) matmul; oversize_mode="split" instead sub-divides the
+    cell deterministically by doc-id hash into <= max_bucket sub-cells and
+    runs kNN within each — bounded cost, with the documented recall caveat
+    that cross-sub-cell neighbors inside the hot cell are not scored (the
+    IVF twin of LSH bucket salting, SURVEY.md §4 skew handling).
     """
+    if oversize_mode not in ("raise", "split"):
+        raise ValueError(f"unknown oversize_mode {oversize_mode!r}")
     from . import ann
     from .exchange import effective_partitions, stamp_schema
 
@@ -338,15 +346,29 @@ def embeddings_nn_blocking(
             [[0], np.flatnonzero(buckets[1:] != buckets[:-1]) + 1, [len(ids)]]
         )
         out_q, out_n, out_s, out_r = [], [], [], []
+        cells: list[tuple[np.ndarray, np.ndarray]] = []
         for s, e in zip(starts[:-1], starts[1:]):
             sub_ids, sub = ids[s:e], m[s:e]
             n = sub_ids.size
             if n < 2:
                 continue
             if n > max_bucket:
-                raise ValueError(
-                    f"coarse cell of {n} rows exceeds max_bucket={max_bucket}"
-                )
+                if oversize_mode == "raise":
+                    raise ValueError(
+                        f"coarse cell of {n} rows exceeds max_bucket="
+                        f"{max_bucket} (pass oversize_mode='split' to "
+                        f"sub-divide hot cells)"
+                    )
+                n_sub = -(-n // max_bucket)
+                salts = (sub_ids % np.int64(n_sub)).astype(np.int64)
+                for sv in range(n_sub):
+                    sel = salts == sv
+                    if np.count_nonzero(sel) >= 2:
+                        cells.append((sub_ids[sel], sub[sel]))
+                continue
+            cells.append((sub_ids, sub))
+        for sub_ids, sub in cells:
+            n = sub_ids.size
             scores = sub @ sub.T
             np.fill_diagonal(scores, -np.inf)
             kk = min(k, n - 1)

@@ -125,3 +125,19 @@ def test_encoder_model_config_plumbing(ray_session):
         docs, dim=16, model="stub-encoder", num_gpus=0.0, concurrency=2
     )
     assert out.count() == 4
+
+
+def test_embeddings_nn_blocking_split_mode_bounds_cells(ray_session):
+    from pyjedai_ray.stages.encoding import embeddings_nn_blocking
+
+    docs = _docs([(i, f"shared prefix words document number {i}") for i in range(8)])
+    out = embeddings_nn_blocking(
+        docs, k=2, dim=32, n_clusters=1, max_bucket=4, oversize_mode="split"
+    ).materialize()
+    # every doc still gets neighbors within its sub-cell; no O(n^2) blowup
+    assert out.count() > 0
+    rows = out.take_all()
+    for r in rows:
+        # sub-cells are doc_id % n_sub groups: neighbors share parity (n=8,
+        # max_bucket=4 -> 2 sub-cells)
+        assert r["query_id"] % 2 == r["neighbor_id"] % 2

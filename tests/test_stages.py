@@ -329,3 +329,49 @@ def test_checkpoint_manifest_carries_schema_and_timing(tmp_path):
     assert sorted(m["schema"]) == ["doc_id", "v"]
     assert m["written_at"] > 0
     assert m["metrics"]["compute_plus_write_sec"] >= 0
+
+
+def test_candidate_pairs_partition_invariance():
+    """Distributed-correctness property: the candidate set is identical at
+    any partitioning (partition arrival order must never leak into results)."""
+    import ray.data
+
+    from pyjedai_ray.stages.blocking import candidate_pairs
+
+    keys = [f"k{i % 7}" for i in range(40)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "doc_id": pa.array([i % 13 for i in range(40)], pa.int64()),
+            }
+        )
+    )
+    results = []
+    for np_ in (2, 5, 9):
+        out = candidate_pairs(edges, max_block_size=64, num_partitions=np_)
+        results.append(
+            sorted((r["id1"], r["id2"], r["cbs"]) for r in out.take_all())
+        )
+    assert results[0] == results[1] == results[2]
+
+
+def test_block_filtering_partition_invariance():
+    import ray.data
+
+    from pyjedai_ray.stages.block_cleaning import block_filtering
+
+    keys = [f"t{i % 5}" for i in range(30)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "doc_id": pa.array([i % 11 for i in range(30)], pa.int64()),
+            }
+        )
+    )
+    results = []
+    for np_ in (2, 7):
+        out = block_filtering(edges, ratio=0.6, num_partitions=np_)
+        results.append(sorted((r["key"], r["doc_id"]) for r in out.take_all()))
+    assert results[0] == results[1]
