@@ -321,15 +321,41 @@ def q_shingle_jaccard_pairs(sf_dir: str):
     return p.map_batches(_j, batch_format="pyarrow")
 
 
+def _weighted_all(sf_dir: str) -> ray.data.Dataset:
+    """ALL weight schemes over the shingle candidate graph in one memoized
+    multi-scheme pass (meta_blocking.weighted_pairs_multi): the bpe/cpe
+    joins run once for the whole family instead of once per scheme — the
+    driver's weight-family queries share this single pipeline."""
+    return _memo(
+        sf_dir,
+        "weighted_multi",
+        lambda: meta_blocking.weighted_pairs_multi(
+            _shingle_candidates(sf_dir), _cleaned_shingle_edges(sf_dir)
+        ),
+    )
+
+
 def _weighted(sf_dir: str, scheme: str):
+    """(weighted-with-`weight` Dataset, candidates, cleaned edges) — the
+    scheme's weight column sliced out of the shared multi-scheme pass
+    (value-identical to a per-scheme weighted_pairs run: same joined
+    inputs, same formulas)."""
     cands = _shingle_candidates(sf_dir)
     cleaned = _cleaned_shingle_edges(sf_dir)
-    w = _memo(
-        sf_dir,
-        f"weighted_{scheme}",
-        lambda: meta_blocking.weighted_pairs(cands, cleaned, scheme=scheme),
-    )
-    return w, cands, cleaned
+    multi = _weighted_all(sf_dir)
+    col = f"weight_{scheme.lower()}"
+
+    def _slice(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or col not in batch.column_names:
+            return pa.schema(
+                [("id1", pa.int64()), ("id2", pa.int64()), ("cbs", pa.int64()),
+                 ("arcs", pa.float64()), ("weight", pa.float64())]
+            ).empty_table()
+        out = {c: batch[c] for c in ("id1", "id2", "cbs", "arcs") if c in batch.column_names}
+        out["weight"] = batch[col]
+        return pa.table(out)
+
+    return multi.map_batches(_slice, batch_format="pyarrow"), cands, cleaned
 
 
 def q_js_weights(sf_dir: str):
