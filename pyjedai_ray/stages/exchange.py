@@ -47,6 +47,17 @@ def ensure_context(ds: ray.data.Dataset | None = None) -> None:
         cpus = int(os.environ.get("RAY_GRAFT_CPUS", os.cpu_count() or 8))
     parallelism = max(8, min(128, cpus * 2))
 
+    # cap aggregator ACTORS well below the partition count: Ray spawns up to
+    # min(max_hash_shuffle_aggregators, partitions) aggregator processes PER
+    # exchange (hash_shuffle.py:986-1020 reserves only ~0.06 cpu each in
+    # local mode, so the reservation doesn't limit them) — at 32 partitions
+    # that's 32 processes per exchange, and chained/concurrent exchanges
+    # oversubscribe the node with actor startup + context switching.
+    # Measured (ejoin_500, sf0.1, 32 cpus): default 64 -> 30-43s barriered /
+    # 92-125s streamed; capped at cpus/4=8 -> 13-17s in BOTH modes. One
+    # aggregator can serve many partitions; fewer, busier actors win.
+    max_aggs = max(2, cpus // 4)
+
     for ctx in filter(None, [ray.data.DataContext.get_current(), ds.context if ds is not None else None]):
         if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
             ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
@@ -54,6 +65,8 @@ def ensure_context(ds: ray.data.Dataset | None = None) -> None:
             ctx.default_hash_shuffle_parallelism = parallelism
         if ctx.min_parallelism > parallelism * 4:
             ctx.min_parallelism = parallelism * 4
+        if ctx.max_hash_shuffle_aggregators > max_aggs:
+            ctx.max_hash_shuffle_aggregators = max_aggs
 
 
 def stamp_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
