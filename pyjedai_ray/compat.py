@@ -457,6 +457,102 @@ class PETopKJoin:
         return _export_pairs(pairs, data)
 
 
+# ---------------------------------------------------------------- workflow --
+
+
+class BlockingBasedWorkFlow:
+    """Reference ``BlockingBasedWorkFlow`` (workflow.py:528-690): stage dicts
+    ``{method: Class, params: {...}, exec_params: {...}}`` chained
+    block building -> block cleaning -> comparison cleaning -> matching ->
+    clustering; ``run(data)`` returns the cluster Dataset and stamps
+    per-stage results + P/R/F1 (when Data has ground truth) on the instance.
+    Preset recipes mirror workflow.py:696-800."""
+
+    def __init__(
+        self,
+        block_building: dict | None = None,
+        block_cleaning: list[dict] | None = None,
+        comparison_cleaning: dict | None = None,
+        entity_matching: dict | None = None,
+        clustering: dict | None = None,
+        name: str | None = None,
+    ):
+        self.block_building = block_building or dict(method=StandardBlocking)
+        self.block_cleaning = block_cleaning or []
+        self.comparison_cleaning = comparison_cleaning
+        self.entity_matching = entity_matching
+        self.clustering = clustering
+        self.name = name or "workflow"
+        self.results: dict = {}
+
+    @staticmethod
+    def _make(step: dict):
+        return step["method"](**step.get("params", {}))
+
+    def run(self, data: Data):
+        blocks = self._make(self.block_building).build_blocks(data)
+        for step in self.block_cleaning:
+            blocks = self._make(step).process(blocks, data)
+        self.results["blocks"] = blocks
+        if self.comparison_cleaning is not None:
+            pairs = self._make(self.comparison_cleaning).process(blocks, data)
+        else:
+            pairs = ComparisonPropagation().process(blocks, data)
+        self.results["candidate_pairs"] = pairs
+        if self.entity_matching is not None:
+            pairs = self._make(self.entity_matching).predict(pairs, data)
+        self.results["graph"] = pairs
+        out = pairs
+        if self.clustering is not None:
+            step = self.clustering
+            out = self._make(step).process(
+                pairs, data, **step.get("exec_params", {})
+            )
+        self.results["clusters"] = out
+        if data.ground_truth is not None:
+            self.results["evaluation"] = Evaluation(data).report(out)
+        return out
+
+
+def best_blocking_workflow_ccer() -> BlockingBasedWorkFlow:
+    """workflow.py:696-716 (EJS WEP + tfidf cosine matcher + UMC 0.17)."""
+    return BlockingBasedWorkFlow(
+        block_building=dict(method=StandardBlocking),
+        block_cleaning=[dict(method=BlockFiltering, params=dict(ratio=0.9))],
+        comparison_cleaning=dict(
+            method=WeightedEdgePruning, params=dict(weighting_scheme="EJS")
+        ),
+        entity_matching=dict(
+            method=EntityMatching,
+            params=dict(metric="cosine", vectorizer="tfidf", similarity_threshold=0.0),
+        ),
+        clustering=dict(
+            method=UniqueMappingClustering, exec_params=dict(similarity_threshold=0.17)
+        ),
+        name="best-ccer-workflow",
+    )
+
+
+def best_blocking_workflow_der() -> BlockingBasedWorkFlow:
+    """workflow.py:718-738 (JS CNP + cosine matcher + connected components)."""
+    return BlockingBasedWorkFlow(
+        block_building=dict(method=StandardBlocking),
+        block_cleaning=[
+            dict(method=BlockPurging, params=dict(smoothing_factor=1.0)),
+            dict(method=BlockFiltering),
+        ],
+        comparison_cleaning=dict(
+            method=CardinalityNodePruning, params=dict(weighting_scheme="JS")
+        ),
+        entity_matching=dict(
+            method=EntityMatching,
+            params=dict(metric="cosine", similarity_threshold=0.55),
+        ),
+        clustering=dict(method=ConnectedComponentsClustering),
+        name="best-der-workflow",
+    )
+
+
 # ------------------------------------------------------------ prioritization --
 
 

@@ -204,3 +204,28 @@ def test_progressive_matcher_family():
     assert GlobalPSNM(budget=4, window=1).predict(blocks, data).count() <= 4
     assert TopKJoinPM(K=2, budget=4).predict(data).count() <= 4
     assert EmbeddingsNNBPM(budget=4, n_clusters=2, dim=16).predict(data).count() <= 4
+
+
+def test_blocking_based_workflow_presets():
+    from pyjedai_ray.compat import Data, best_blocking_workflow_ccer
+
+    d1 = pd.DataFrame(
+        {
+            "id": ["a1", "a2", "a3"],
+            "name": ["green tea pot", "red wine glass", "blue coffee mug"],
+        }
+    )
+    d2 = pd.DataFrame(
+        {
+            "id": ["b1", "b2", "b3"],
+            "name": ["green tea pot", "red wine glass", "yellow soup bowl"],
+        }
+    )
+    gt = pd.DataFrame({"d1": ["a1", "a2"], "d2": ["b1", "b2"]})
+    data = Data(d1, "id", ["name"], dataset_2=d2, id_column_name_2="id", ground_truth=gt)
+    wf = best_blocking_workflow_ccer()
+    clusters = wf.run(data)
+    got = {(r["id1"], r["id2"]) for r in clusters.take_all()}
+    assert {(0, 3), (1, 4)} <= got
+    rep = wf.results["evaluation"]
+    assert rep["recall"] == 1.0
