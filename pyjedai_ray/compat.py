@@ -347,6 +347,33 @@ class ProgressiveCardinalityNodePruning(_MetaBlocking):
         )
 
 
+def get_meta_blocking_approach(acronym: str, w_scheme: str, budget: int = 0):
+    """Acronym -> comparison-cleaning instance (comparison_cleaning.py:
+    1088-1124). GPSN/LPSN map to the PSN-based progressive matchers (their
+    `predict` takes the edge list directly)."""
+    table = {
+        "BLAST": lambda: BLAST(w_scheme),
+        "CEP": lambda: CardinalityEdgePruning(w_scheme),
+        "CNP": lambda: CardinalityNodePruning(w_scheme),
+        "RCNP": lambda: ReciprocalCardinalityNodePruning(w_scheme),
+        "RWNP": lambda: ReciprocalWeightedNodePruning(w_scheme),
+        "WEP": lambda: WeightedEdgePruning(w_scheme),
+        "WNP": lambda: WeightedNodePruning(w_scheme),
+        "PCEP": lambda: ProgressiveCardinalityEdgePruning(w_scheme, budget),
+        "PCNP": lambda: ProgressiveCardinalityNodePruning(w_scheme, budget),
+        "GPSN": lambda: GlobalPSNM(budget=budget),
+        "LPSN": lambda: LocalPSNM(budget=budget),
+    }
+    if acronym not in table:
+        import warnings
+
+        warnings.warn(
+            "Wrong meta-blocking approach selected. Returning Comparison Propagation."
+        )
+        return ComparisonPropagation()
+    return table[acronym]()
+
+
 # ----------------------------------------------------------------- matching --
 
 _TOKENIZER_MAP = {

@@ -229,3 +229,22 @@ def test_blocking_based_workflow_presets():
     assert {(0, 3), (1, 4)} <= got
     rep = wf.results["evaluation"]
     assert rep["recall"] == 1.0
+
+
+def test_meta_blocking_factory():
+    import warnings
+
+    from pyjedai_ray.compat import (
+        BLAST,
+        ComparisonPropagation,
+        GlobalPSNM,
+        get_meta_blocking_approach,
+    )
+
+    assert isinstance(get_meta_blocking_approach("BLAST", "X2"), BLAST)
+    assert isinstance(get_meta_blocking_approach("GPSN", "ACF", budget=5), GlobalPSNM)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        obj = get_meta_blocking_approach("NOPE", "CBS")
+    assert isinstance(obj, ComparisonPropagation)
+    assert w
