@@ -248,9 +248,18 @@ def assign_buckets(
     centroids: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "bucket",
+    n_probe: int = 1,
 ) -> ray.data.Dataset:
     """Append the nearest-centroid (argmax cosine) cell id — streaming, one
-    broadcast matmul per batch."""
+    broadcast matmul per batch.
+
+    n_probe > 1 turns on multi-probe IVF (standard recall fix for cell-
+    boundary misses): each vector EXPLODES into its ``n_probe`` closest
+    cells with a ``primary`` flag marking the rank-0 cell. Membership
+    semantics downstream: a vector is INDEXED only in its primary cell and
+    QUERIES every probed cell, so each (query, candidate) pair is scored in
+    exactly the candidate's primary cell — no duplicate pairs by
+    construction."""
     cref = ray.put(np.asarray(centroids, dtype=np.float32))
 
     def _assign(batch: pa.Table) -> pa.Table:
@@ -258,8 +267,20 @@ def assign_buckets(
             return batch
         c = ray.get(cref)
         m = _matrix(batch, vec_col)
-        assign = np.argmax(m @ c.T, axis=1).astype(np.int64)
-        return batch.append_column(out_col, pa.array(assign, pa.int64()))
+        sims = m @ c.T
+        if n_probe <= 1:
+            assign = np.argmax(sims, axis=1).astype(np.int64)
+            return batch.append_column(out_col, pa.array(assign, pa.int64()))
+        p = min(n_probe, sims.shape[1])
+        # top-p cells per vector, best first (argsort of negated sims)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :p].astype(np.int64)
+        n = batch.num_rows
+        idx = np.repeat(np.arange(n), p)
+        exploded = batch.take(pa.array(idx))
+        exploded = exploded.append_column(out_col, pa.array(order.ravel(), pa.int64()))
+        primary = np.zeros(n * p, dtype=bool)
+        primary[::p] = True
+        return exploded.append_column("primary", pa.array(primary))
 
     return embeddings.map_batches(_assign, batch_format="pyarrow")
 
@@ -275,6 +296,7 @@ def embeddings_nn_blocking(
     text_col: str = "text",
     max_bucket: int = 100_000,
     oversize_mode: str = "raise",
+    n_probe: int = 1,
 ) -> ray.data.Dataset:
     """End-to-end EmbeddingsNNBlockBuilding: encode -> k-means quantize ->
     IVF top-k — no pre-existing label/bucket column required
@@ -293,6 +315,12 @@ def embeddings_nn_blocking(
     runs kNN within each — bounded cost, with the documented recall caveat
     that cross-sub-cell neighbors inside the hot cell are not scored (the
     IVF twin of LSH bucket salting, SURVEY.md §4 skew handling).
+
+    n_probe > 1 enables multi-probe IVF on the self-join path: every doc
+    queries its n_probe closest cells (indexed only in its primary cell —
+    see assign_buckets), recovering neighbors that straddle a cell boundary
+    at ~n_probe x the matmul cost; the per-query results from different
+    cells merge through one global top-k reduce.
     """
     if oversize_mode not in ("raise", "split"):
         raise ValueError(f"unknown oversize_mode {oversize_mode!r}")
@@ -326,6 +354,10 @@ def embeddings_nn_blocking(
             id_col="doc_id", vec_col="embedding", bucket_col="bucket",
         )
 
+    multi_probe = n_probe > 1
+    if multi_probe:
+        bucketed = assign_buckets(emb, centroids, n_probe=n_probe).materialize()
+
     parts = bucketed.repartition(
         effective_partitions(32), keys=["bucket"]
     )
@@ -341,14 +373,19 @@ def embeddings_nn_blocking(
         t = batch.take(idx)
         buckets = t["bucket"].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        prim = (
+            t["primary"].to_numpy(zero_copy_only=False)
+            if "primary" in t.column_names
+            else np.ones(len(ids), dtype=bool)
+        )
         m = _matrix(t, "embedding")
         starts = np.concatenate(
             [[0], np.flatnonzero(buckets[1:] != buckets[:-1]) + 1, [len(ids)]]
         )
         out_q, out_n, out_s, out_r = [], [], [], []
-        cells: list[tuple[np.ndarray, np.ndarray]] = []
+        cells: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for s, e in zip(starts[:-1], starts[1:]):
-            sub_ids, sub = ids[s:e], m[s:e]
+            sub_ids, sub, sub_p = ids[s:e], m[s:e], prim[s:e]
             n = sub_ids.size
             if n < 2:
                 continue
@@ -364,21 +401,42 @@ def embeddings_nn_blocking(
                 for sv in range(n_sub):
                     sel = salts == sv
                     if np.count_nonzero(sel) >= 2:
-                        cells.append((sub_ids[sel], sub[sel]))
+                        cells.append((sub_ids[sel], sub[sel], sub_p[sel]))
                 continue
-            cells.append((sub_ids, sub))
-        for sub_ids, sub in cells:
+            cells.append((sub_ids, sub, sub_p))
+        for sub_ids, sub, sub_p in cells:
             n = sub_ids.size
-            scores = sub @ sub.T
-            np.fill_diagonal(scores, -np.inf)
-            kk = min(k, n - 1)
+            if sub_p.all():
+                # single-probe fast path: full self-join in the cell
+                scores = sub @ sub.T
+                np.fill_diagonal(scores, -np.inf)
+                kk = min(k, n - 1)
+                order = np.lexsort(
+                    (sub_ids[None, :].repeat(n, 0), -scores), axis=1
+                )[:, :kk]
+                out_q.append(np.repeat(sub_ids, kk))
+                out_n.append(sub_ids[order].ravel())
+                out_s.append(np.take_along_axis(scores, order, axis=1).ravel())
+                out_r.append(np.tile(np.arange(1, kk + 1, dtype=np.int32), n))
+                continue
+            # multi-probe: every row queries; only PRIMARY rows are indexed
+            cand_ids, cand = sub_ids[sub_p], sub[sub_p]
+            if cand_ids.size == 0:
+                continue
+            scores = sub @ cand.T
+            scores[sub_ids[:, None] == cand_ids[None, :]] = -np.inf
+            kk = min(k, cand_ids.size)
             order = np.lexsort(
-                (sub_ids[None, :].repeat(n, 0), -scores), axis=1
+                (cand_ids[None, :].repeat(n, 0), -scores), axis=1
             )[:, :kk]
-            out_q.append(np.repeat(sub_ids, kk))
-            out_n.append(sub_ids[order].ravel())
-            out_s.append(np.take_along_axis(scores, order, axis=1).ravel())
-            out_r.append(np.tile(np.arange(1, kk + 1, dtype=np.int32), n))
+            top = np.take_along_axis(scores, order, axis=1)
+            keep = np.isfinite(top.ravel())
+            out_q.append(np.repeat(sub_ids, kk)[keep])
+            out_n.append(cand_ids[order].ravel()[keep])
+            out_s.append(top.ravel()[keep])
+            out_r.append(
+                np.tile(np.arange(1, kk + 1, dtype=np.int32), n)[keep]
+            )
         if not out_q:
             return ann.KNN_SCHEMA.empty_table()
         return pa.table(
@@ -393,6 +451,10 @@ def embeddings_nn_blocking(
         )
 
     out = parts.map_batches(_bucket_knn, batch_format="pyarrow", batch_size=None)
+    if multi_probe:
+        # a query's neighbors now come from up to n_probe cells: merge via
+        # the per-query global top-k reduce (fresh ranks)
+        return ann._reduce_global_topk(out, k)
     return stamp_schema(out, ann.KNN_SCHEMA)
 
 

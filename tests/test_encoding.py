@@ -141,3 +141,46 @@ def test_embeddings_nn_blocking_split_mode_bounds_cells(ray_session):
         # sub-cells are doc_id % n_sub groups: neighbors share parity (n=8,
         # max_bucket=4 -> 2 sub-cells)
         assert r["query_id"] % 2 == r["neighbor_id"] % 2
+
+
+def test_multi_probe_recovers_boundary_neighbors(ray_session):
+    """n_probe=2 must find at least every neighbor pair n_probe=1 finds
+    (multi-probe only ADDS cross-cell candidates), with identical scores on
+    the shared pairs."""
+    from pyjedai_ray.stages.encoding import embeddings_nn_blocking
+
+    docs = _docs(
+        [(i, f"document number {i} with some shared words plus token{i % 5}") for i in range(24)]
+    )
+    base = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in embeddings_nn_blocking(docs, k=3, dim=16, n_clusters=4).take_all()
+    }
+    probed = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in embeddings_nn_blocking(
+            docs, k=3, dim=16, n_clusters=4, n_probe=2
+        ).take_all()
+    }
+    # every query keeps a full neighborhood and scores agree on shared pairs
+    assert set(q for q, _ in probed) >= set(q for q, _ in base)
+    for pair, score in probed.items():
+        if pair in base:
+            assert abs(base[pair] - score) < 1e-6
+    # multi-probe neighborhoods are at least as good: per-query min kept
+    # score can only rise (never worse than single-probe)
+    import collections
+
+    worst_b = collections.defaultdict(lambda: float("inf"))
+    worst_p = collections.defaultdict(lambda: float("inf"))
+    cnt_b = collections.Counter()
+    cnt_p = collections.Counter()
+    for (q, _), s in base.items():
+        worst_b[q] = min(worst_b[q], s)
+        cnt_b[q] += 1
+    for (q, _), s in probed.items():
+        worst_p[q] = min(worst_p[q], s)
+        cnt_p[q] += 1
+    for q in worst_b:
+        if cnt_p[q] == cnt_b[q]:
+            assert worst_p[q] >= worst_b[q] - 1e-9
