@@ -810,6 +810,15 @@ def q_ivf_kmeans_knn(sf_dir: str):
     return ann.ivf_knn(bucketed, qvecs, qids, qb, k=5, bucket_col="bucket")
 
 
+def q_lsh_embedding_neardup(sf_dir: str):
+    # rows-only: seeded gaussian hyperplane projections are not
+    # SQL-expressible; exact-duplicate recall is pytest-asserted
+    # (test_encoding.py::test_lsh_neardup_recovers_exact_duplicates)
+    emb = read_embeddings(sf_dir).materialize()
+    dim = len(emb.take(1)[0]["embedding"])
+    return ann.lsh_neardup(emb, dim=dim, threshold=0.5, planes=32, bands=8)
+
+
 def q_embeddings_nn_blocking(sf_dir: str):
     # rows-only end-to-end vector blocking from raw text: hash-encoder actor
     # pool -> k-means quantize -> per-bucket distributed self-KNN
@@ -1230,6 +1239,7 @@ def queries():
         "ivf_kmeans_knn": q_ivf_kmeans_knn,
         "embeddings_nn_blocking": q_embeddings_nn_blocking,
         "embeddings_nn_bpm": q_embeddings_nn_bpm,
+        "lsh_embedding_neardup": q_lsh_embedding_neardup,
         "psn_pairs": q_psn_pairs,
         "global_psnm": q_global_psnm,
         "local_psnm": q_local_psnm,

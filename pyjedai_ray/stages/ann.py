@@ -248,3 +248,102 @@ def ivf_knn(
 
     partials = embeddings.map_batches(_local, batch_format="pyarrow")
     return _reduce_global_topk(partials, k)
+
+
+def lsh_plane_edges(
+    embeddings: ray.data.Dataset,
+    dim: int,
+    planes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Random-hyperplane LSH band keys for vectors -> (key:int64,
+    doc_id:int64) edge list, one row per band.
+
+    The vector twin of the MinHash band explode (stages/minhash.py): sign
+    bits of `planes` seeded gaussian projections, folded into `bands` chunks
+    of planes/bands bits, each namespaced by band index. Two vectors share a
+    band key iff every sign bit in that chunk agrees — P(collision) follows
+    the angular-similarity S-curve (Charikar's SimHash family). Stateless
+    map_batches; the projection matrix is broadcast once via ray.put."""
+    if planes % bands != 0:
+        raise ValueError(f"planes ({planes}) must divide evenly into bands ({bands})")
+    width = planes // bands
+    if width > 56:
+        raise ValueError("planes/bands must be <= 56 bits (int64 band keys)")
+    rng = np.random.default_rng(seed)
+    planes_ref = ray.put(rng.standard_normal((planes, dim)).astype(np.float32))
+
+    def _sign(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("key", pa.int64()), ("doc_id", pa.int64())])
+        if batch.num_rows == 0 or vec_col not in batch.column_names:
+            return schema.empty_table()
+        r = ray.get(planes_ref)
+        m = _batch_matrix(batch, vec_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = (m @ r.T > 0).astype(np.uint64)  # (n, planes)
+        n = bits.shape[0]
+        chunk = bits.reshape(n, bands, width)
+        weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))[None, None, :]
+        keys = (chunk * weights).sum(axis=2)  # (n, bands)
+        keys |= np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(56)
+        return pa.table(
+            {
+                "key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(_sign, batch_format="pyarrow")
+
+
+def lsh_neardup(
+    embeddings: ray.data.Dataset,
+    dim: int,
+    threshold: float = 0.9,
+    planes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_size: int = 10_000,
+    num_partitions: int = 32,
+    score_round: int | None = 6,
+) -> ray.data.Dataset:
+    """LSH-bucketed embedding near-dup: the scale path that needs NO trained
+    quantizer (the alternative to the IVF/k-means route in encoding.py).
+
+    hyperplane band keys -> band-key shuffle -> candidate pairs (hot keys
+    capped/chained by the shared machinery) -> EXACT cosine verification at
+    `threshold` — precision is exact; recall follows the band S-curve
+    (identical vectors collide in every band, so exact duplicates are always
+    recovered). Returns (id1, id2, weight)."""
+    from .blocking import candidate_pairs
+    from .matching import verify_pairs_vectors
+
+    edges = lsh_plane_edges(
+        embeddings, dim, planes=planes, bands=bands, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cands = candidate_pairs(
+        edges, max_block_size=max_block_size, num_partitions=num_partitions
+    ).select_columns(["id1", "id2"])
+    out = verify_pairs_vectors(
+        cands, embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        num_partitions=num_partitions,
+    )
+    if score_round is not None:
+        def _r(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "weight" not in batch.column_names:
+                return batch
+            v = np.round(
+                batch["weight"].to_numpy(zero_copy_only=False).astype(np.float64),
+                score_round,
+            )
+            i = batch.column_names.index("weight")
+            return batch.set_column(i, "weight", pa.array(v, pa.float64()))
+
+        out = out.map_batches(_r, batch_format="pyarrow")
+    return out

@@ -184,3 +184,53 @@ def test_multi_probe_recovers_boundary_neighbors(ray_session):
     for q in worst_b:
         if cnt_p[q] == cnt_b[q]:
             assert worst_p[q] >= worst_b[q] - 1e-9
+
+
+def test_lsh_neardup_recovers_exact_duplicates(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyjedai_ray.stages.ann import lsh_neardup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((10, 16)).astype(np.float32)
+    # vecs 10..14 duplicate vecs 0..4 exactly
+    vecs = np.vstack([base, base[:5]])
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(15)), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = lsh_neardup(emb, dim=16, threshold=0.99, planes=32, bands=8, num_partitions=4)
+    got = {(r["id1"], r["id2"]) for r in out.take_all()}
+    # identical vectors collide in every band -> all 5 dup pairs recovered
+    assert {(i, i + 10) for i in range(5)} <= got
+    # exact verification: no sub-threshold pair survives
+    for r in out.take_all():
+        assert r["weight"] >= 0.99
+
+
+def test_lsh_plane_edges_band_shape(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyjedai_ray.stages.ann import lsh_plane_edges
+
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array(
+                    np.eye(2, 8, dtype=np.float32).tolist(), pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    rows = lsh_plane_edges(emb, dim=8, planes=16, bands=4).take_all()
+    assert len(rows) == 2 * 4  # one row per vector per band
+    # band namespace bits keep bands from colliding across indices
+    bands_seen = {(r["doc_id"], (r["key"] >> 56) & 0xFF) for r in rows}
+    assert len(bands_seen) == 8
