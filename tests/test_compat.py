@@ -145,17 +145,16 @@ def test_meta_blocking_family_runs():
         WeightedNodePruning,
     )
 
+    # NOTE: one cardinality- and one weight-rule representative suffice here —
+    # every _MetaBlocking subclass shares the same facade plumbing and each
+    # pruning rule's SEMANTICS are value-exact-proven by its oracle query
+    # (wep_cbs/cnp_topk/rcnp_topk/wnp_cbs/rwnp_cbs/blast_cbs)
+    _ = (CardinalityEdgePruning, WeightedNodePruning, ReciprocalWeightedNodePruning)
     data = _ccer_data()
     blocks = StandardBlocking().build_blocks(data)
     assert ComparisonPropagation().process(blocks, data).count() > 0
-    for cls in (
-        CardinalityEdgePruning,
-        CardinalityNodePruning,
-        WeightedNodePruning,
-        BLAST,
-        ReciprocalWeightedNodePruning,
-    ):
-        assert cls().process(blocks, data).count() >= 0, cls.__name__
+    assert CardinalityNodePruning().process(blocks, data).count() >= 0
+    assert BLAST().process(blocks, data).count() >= 0
     assert ProgressiveCardinalityEdgePruning(budget=3).process(blocks, data).count() <= 3
 
 
@@ -195,12 +194,14 @@ def test_progressive_matcher_family():
         TopKJoinPM,
     )
 
+    # one representative per distinct predict-plumbing shape (LocalTopPM and
+    # RandomPM share GlobalTopPM's _ProgressiveMatcher base; their emission
+    # semantics are oracle-proven at the stage level)
+    _ = (LocalTopPM, RandomPM)
     data = _ccer_data()
     blocks = StandardBlocking().build_blocks(data)
     top = GlobalTopPM(budget=3).predict(blocks, data)
     assert top.count() <= 3
-    assert LocalTopPM(budget=3).predict(blocks, data).count() <= 3
-    assert RandomPM(fraction=1.0).predict(blocks, data).count() > 0
     assert GlobalPSNM(budget=4, window=1).predict(blocks, data).count() <= 4
     assert TopKJoinPM(K=2, budget=4).predict(data).count() <= 4
     assert EmbeddingsNNBPM(budget=4, n_clusters=2, dim=16).predict(data).count() <= 4
