@@ -74,9 +74,13 @@ def run_webdedup(
     cluster_mode: str = "auto",
     use_html: bool = True,
     id_col: str | None = None,
+    lang_filter: str | None = None,
 ) -> dict:
     """Full web dedup. Returns dict with docs/sigs/candidates/verified/
-    clusters Datasets (checkpointed under out_dir when given)."""
+    clusters Datasets (checkpointed under out_dir when given).
+    ``lang_filter`` restricts the corpus to one language code right after
+    extraction (predicate on the input_hint ``lang`` column) — the usual
+    Common-Crawl per-language dedup shape."""
     cfg = cfg or DedupConfig()
     ch = cfg.config_hash()
 
@@ -85,7 +89,9 @@ def run_webdedup(
             return webpages.select_columns([id_col, "text"]).rename_columns(
                 {id_col: "doc_id"}
             )
-        return extract_and_project(webpages, use_html=use_html)
+        return extract_and_project(
+            webpages, use_html=use_html, lang_filter=lang_filter
+        )
 
     chain = ""
     if out_dir:

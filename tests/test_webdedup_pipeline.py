@@ -103,3 +103,21 @@ def test_webdedup_recall_on_injected_dups(request):
             if pred.get(base) is not None and pred.get(base) == pred.get(distractor):
                 wrong.append(base)
     assert not wrong, f"distractors merged: {wrong[:5]}"
+
+
+def test_webdedup_lang_filter(ray_session):
+    from pyjedai_ray import DedupConfig
+    from pyjedai_ray.pipelines.webdedup import run_webdedup
+    from pyjedai_ray.sources.webpages import synthesize_webpages
+
+    wp = synthesize_webpages("/root/testdata/sf0.001").materialize()
+    langs = {r["lang"] for r in wp.take_all()}
+    assert len(langs) > 1  # the fixture mixes languages
+    pick = sorted(langs)[0]
+    res = run_webdedup(
+        wp.drop_columns(["doc_id", "gt_cluster"]), DedupConfig(),
+        cluster_mode="driver", num_partitions=4, lang_filter=pick,
+    )
+    docs = res["docs"]
+    assert docs.count() > 0
+    assert {r["lang"] for r in docs.take_all()} == {pick}
