@@ -31,6 +31,26 @@ from .stages.encoding import embeddings_nn_blocking as _nn_blocking
 
 _DEFAULT_PARTITIONS = 32
 
+# The facade's export/Evaluation methods return pandas DataFrames by API
+# contract (the reference returns driver-side frames), which pulls the full
+# result to the driver. For the CCER-sized datasets the facade targets that
+# is fine; pointing it at a web-scale Dataset would OOM the driver instead of
+# erroring — so every driver collect is guarded (the stages/clustering.py
+# _sorted_edges pattern).
+DRIVER_EXPORT_LIMIT = 5_000_000
+
+
+def _guarded_to_pandas(ds: ray.data.Dataset, what: str, limit: int = DRIVER_EXPORT_LIMIT) -> pd.DataFrame:
+    n = ds.count()
+    if n > limit:
+        raise ValueError(
+            f"{what}: {n} rows exceed the driver-side export cap ({limit}); "
+            f"the compat facade's DataFrame exports are for reference-sized "
+            f"data — at this scale keep the result as a ray.data.Dataset "
+            f"(write_parquet / iter_batches) via the stage functions directly"
+        )
+    return ds.to_pandas()
+
 
 class Data:
     """Reference ``Data`` (datamodel.py:77-186): 1-2 pandas DataFrames with
@@ -83,7 +103,7 @@ class Data:
 
 def _export_pairs(pairs: ray.data.Dataset, data: Data) -> pd.DataFrame:
     """Pairs Dataset -> DataFrame(['id1','id2']) in original-id space."""
-    df = pairs.select_columns(["id1", "id2"]).to_pandas()
+    df = _guarded_to_pandas(pairs.select_columns(["id1", "id2"]), "_export_pairs")
     return pd.DataFrame(
         {"id1": data.to_original_ids(df["id1"]), "id2": data.to_original_ids(df["id2"])}
     )
@@ -743,7 +763,7 @@ class _Clusterer:
     def export_to_df(self, clusters: ray.data.Dataset, data: Data) -> pd.DataFrame:
         """Cluster Dataset -> intra-cluster pair list in original ids
         (clustering.py:381-417 export semantics)."""
-        df = clusters.to_pandas()
+        df = _guarded_to_pandas(clusters, "Clusterer.export_to_df")
         rows = []
         for _, grp in df.groupby("cluster_id"):
             ids = sorted(grp["doc_id"].tolist())

@@ -1036,6 +1036,90 @@ def q_psn_fixture(sf_dir: str):
     return meta_blocking.sorted_neighborhood_pairs(edges, window=1, max_window=3)
 
 
+def _psnm_fixture_edges(sf_dir: str) -> ray.data.Dataset:
+    """TWO singleton blocks per doc ('aXXXX' and 'bXXXX', both in doc_id
+    order): the PSN position list becomes docs 0..N-1 twice (a-run then
+    b-run), so every within-run pair (i, i+d), d in 1..max_window, is counted
+    from BOTH runs (weight 2) while the six a/b boundary-straddling pairs
+    (0,N-3),(0,N-2),(0,N-1),(1,N-2),(1,N-1),(2,N-1) are counted once
+    (weight 1) — non-constant weights with a SQL-closed form, which is what
+    the budgeted PSNM emission layers need for a value-exact oracle."""
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("key", pa.string()), ("doc_id", pa.int64())])
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return schema.empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keys = [f"{p}{int(i):08d}" for p in ("a", "b") for i in ids]
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "doc_id": pa.array(np.tile(ids, 2), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(_edges, batch_format="pyarrow")
+
+
+def q_global_psnm_fixture(sf_dir: str):
+    """GlobalPSNM (prioritization.py:872-911) on the two-run PSN fixture:
+    the budgeted emission is the global (weight desc, id1, id2) order —
+    weight-2 within-run pairs first, then the weight-1 boundary pairs."""
+    return meta_blocking.global_psnm(
+        _psnm_fixture_edges(sf_dir), budget=1497, window=1, max_window=3
+    )
+
+
+def q_local_psnm_fixture(sf_dir: str):
+    """LocalPSNM (prioritization.py:913-951) on the two-run PSN fixture with
+    k=1: every node's best pair is its smallest weight-2 neighbor (ties break
+    (weight desc, neighbor asc)), so the kept set is {(0,1),(0,2)} plus all
+    (i, i+3), emitted by (weight desc, id1, id2) under budget."""
+    return meta_blocking.local_psnm(
+        _psnm_fixture_edges(sf_dir), budget=200, window=1, max_window=3, k=1
+    )
+
+
+def q_pes_fixture(sf_dir: str):
+    """PES / progressive entity scheduling (comparison_cleaning.py:984-1086)
+    value-proof on the greedy-4 fixture: neighborhood averages are
+    a:0.9 > d:0.8 > b:0.75 > c:0.7 per group, so the HB order is a closed
+    form — first-visit round (a,b) then (d,c) pairs by center id, then the
+    DFS remainder (b,c); each pair emits at its best-ordered center (the
+    scheduler's checked-pair dedup)."""
+    return meta_blocking.progressive_entity_scheduling(
+        _fixture_edges(sf_dir, *_FX_GREEDY4), budget=300, method="HB"
+    ).select_columns(["id1", "id2", "weight"])
+
+
+def q_bilateral_fixture(sf_dir: str):
+    """Bilateral DatasetScheduler indexing (utils.py:700-817): both
+    orientations of the directed neighborhoods compete and each pair emits at
+    its earlier (best-ordered) orientation — on the greedy-4 fixture that is
+    exactly the PES order, proven value-exact against the same closed form."""
+    return meta_blocking.emit_bilateral(
+        _fixture_edges(sf_dir, *_FX_GREEDY4), budget=300, strategy="HB"
+    ).select_columns(["id1", "id2", "weight"])
+
+
+def q_clusterer_fixtures(sf_dir: str):
+    """Five fixture clusterers (MCL bridge cut, Flake-Tarjan sink cut,
+    correlation local-search fixpoint, ricochet steal/re-home, greedy
+    row/column scans) consolidated into one (clusterer, doc_id, cluster_id)
+    result — one driver-correctness row proving the family, same pattern as
+    weight_schemes."""
+    return _tag_union(
+        (
+            ("markov", q_markov_fixture(sf_dir)),
+            ("cut", q_cut_fixture(sf_dir)),
+            ("correlation", q_correlation_fixture(sf_dir)),
+            ("ricochet", q_ricochet_fixture(sf_dir)),
+            ("row_column", q_row_column_fixture(sf_dir)),
+        ),
+        col="clusterer",
+    )
+
+
 def q_edit_similarity(sf_dir: str):
     """Edit-distance metrics (matching.py:20-28 Levenshtein/Jaro) as a
     value-exact query: per consecutive doc pair, normalized Levenshtein
@@ -1115,13 +1199,13 @@ def q_weight_schemes(sf_dir: str):
     return out
 
 
-def _tag_union(parts):
+def _tag_union(parts, col: str = "strategy"):
     """Union datasets with a leading string tag column."""
     out = None
     for tag, ds in parts:
         def _tag(batch: pa.Table, tag=tag) -> pa.Table:
             return batch.add_column(
-                0, "strategy", pa.array([tag] * batch.num_rows, pa.string())
+                0, col, pa.array([tag] * batch.num_rows, pa.string())
             )
 
         tagged = ds.map_batches(_tag, batch_format="pyarrow")
@@ -1223,11 +1307,11 @@ def queries():
         "unique_mapping_fixture": q_unique_mapping_fixture,
         "center_fixture": q_center_fixture,
         "merge_center_fixture": q_merge_center_fixture,
-        "markov_fixture": q_markov_fixture,
-        "cut_fixture": q_cut_fixture,
-        "correlation_fixture": q_correlation_fixture,
-        "ricochet_fixture": q_ricochet_fixture,
-        "row_column_fixture": q_row_column_fixture,
+        "clusterer_fixtures": q_clusterer_fixtures,
+        "global_psnm_fixture": q_global_psnm_fixture,
+        "local_psnm_fixture": q_local_psnm_fixture,
+        "pes_fixture": q_pes_fixture,
+        "bilateral_fixture": q_bilateral_fixture,
         # -- rows-only (hash-based / stateful / seeded / synthetic input) --
         "minhash_dedup_clusters": q_minhash_dedup_clusters,
         "minhash_candidates": q_minhash_candidates,
@@ -1257,6 +1341,11 @@ def queries():
         "substring_dedup": q_substring_dedup,
         # individual members of in-window consolidated queries (each also has
         # its own oracle; kept registered for API completeness)
+        "markov_fixture": q_markov_fixture,
+        "cut_fixture": q_cut_fixture,
+        "correlation_fixture": q_correlation_fixture,
+        "ricochet_fixture": q_ricochet_fixture,
+        "row_column_fixture": q_row_column_fixture,
         "progressive_dfs": q_progressive_dfs,
         "progressive_bfs": q_progressive_bfs,
         "progressive_hb": q_progressive_hb,
@@ -1926,4 +2015,59 @@ def oracle_sql():
         SELECT doc_id, doc_id - (doc_id % 2) AS cluster_id
         FROM documents, n WHERE doc_id < lim
     """
+    # consolidated clusterer-fixture row: UNION ALL of the five per-clusterer
+    # closed forms (verbatim, as derived tables) with a clusterer tag
+    d["clusterer_fixtures"] = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS clusterer, doc_id, cluster_id FROM ({d[name + '_fixture']})"
+        for name in ("markov", "cut", "correlation", "ricochet", "row_column")
+    )
+
+    # two-run PSN fixture (see _psnm_fixture_edges): within-run pairs at
+    # distance 1..3 count twice (a-run + b-run), the six boundary-straddling
+    # pairs once; GPSNM = global (weight desc, id1, id2) emission under budget
+    psnm_pairs = """
+        WITH n AS (SELECT count(*) AS N FROM documents),
+        pairs AS (
+            SELECT doc_id AS id1, doc_id + d.d AS id2, CAST(2 AS BIGINT) AS weight
+            FROM documents, n, UNNEST([1, 2, 3]) AS d(d)
+            WHERE doc_id + d.d < N
+            UNION ALL
+            SELECT t.a, N - 1 - t.b, CAST(1 AS BIGINT)
+            FROM n, (VALUES (0, 0), (0, 1), (1, 0), (0, 2), (1, 1), (2, 0)) t(a, b)
+        )
+    """
+    d["global_psnm_fixture"] = psnm_pairs + """
+        SELECT id1, id2, weight FROM pairs
+        ORDER BY weight DESC, id1, id2 LIMIT 1497
+    """
+    # LPSNM k=1: per-node best pair = smallest weight-2 neighbor (ties break
+    # (weight desc, neighbor asc)) -> {(0,1),(0,2)} + all (i, i+3); weight is
+    # DOUBLE downstream of the directed per-node top-k
+    d["local_psnm_fixture"] = """
+        WITH n AS (SELECT count(*) AS N FROM documents),
+        kept AS (
+            SELECT doc_id AS id1, doc_id + 3 AS id2 FROM documents, n
+            WHERE doc_id + 3 < N
+            UNION ALL SELECT 0, 1 FROM n WHERE N >= 2
+            UNION ALL SELECT 0, 2 FROM n WHERE N >= 3
+        )
+        SELECT id1, id2, CAST(2 AS DOUBLE) AS weight FROM kept
+        ORDER BY id1, id2 LIMIT 200
+    """
+    # PES / bilateral HB order on the greedy-4 fixture: per-group
+    # neighborhood averages a:0.9 > d:0.8 > b:0.75 > c:0.7 make the emission
+    # a closed form — first-visit round (a,b) then (d,c) by center id, then
+    # the DFS remainder (b,c); output pairs are DIRECTED (center, neighbor)
+    pes = """
+        WITH n AS (SELECT 4 * (count(*) // 4) AS lim FROM documents),
+        base AS (SELECT doc_id AS b FROM documents, n WHERE doc_id < lim AND doc_id % 4 = 0),
+        e AS (
+            SELECT b AS id1, b + 1 AS id2, CAST(0.9 AS DOUBLE) AS weight, 0 AS tier, b AS ord FROM base
+            UNION ALL SELECT b + 3, b + 2, CAST(0.8 AS DOUBLE), 1, b FROM base
+            UNION ALL SELECT b + 1, b + 2, CAST(0.6 AS DOUBLE), 2, b FROM base
+        )
+        SELECT id1, id2, weight FROM e ORDER BY tier, ord LIMIT 300
+    """
+    d["pes_fixture"] = pes
+    d["bilateral_fixture"] = pes
     return d

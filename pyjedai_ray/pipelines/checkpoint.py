@@ -116,9 +116,15 @@ def load_or_compute(
     compute: Callable[[], ray.data.Dataset],
     metrics: dict | None = None,
     resume: bool = True,
+    metrics_fn: Callable[[], dict] | None = None,
 ) -> tuple[ray.data.Dataset, str]:
     """Return (dataset, lineage-chain-hash); reads the checkpoint when its
-    manifest validates, else computes + writes it."""
+    manifest validates, else computes + writes it.
+
+    ``metrics_fn`` is evaluated AFTER the stage has executed (the write is
+    the execution trigger) and merged into the manifest metrics — the hook
+    for counters that only exist once the batch tasks ran, e.g. the
+    state.metrics drop totals (SURVEY §4 no-silent-truncation)."""
     import time
 
     stage_dir = os.path.join(base_dir, stage)
@@ -133,6 +139,8 @@ def load_or_compute(
     # stamp the measured wall time after the write completes (the write
     # triggers execution, so this covers compute + sink)
     m["compute_plus_write_sec"] = round(time.time() - t0, 3)
+    if metrics_fn is not None:
+        m.update(metrics_fn())
     mf = read_manifest(stage_dir)
     if mf is not None:
         mf["metrics"] = m

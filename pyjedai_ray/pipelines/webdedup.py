@@ -14,6 +14,8 @@ lineage + metrics; resume skips validated stages).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -23,6 +25,8 @@ from ..functions.hashing import hash64_array
 from ..functions.text import extract_text
 from ..stages import blocking, clustering, matching, minhash
 from . import checkpoint as ckpt
+
+_LANG_CODE_RE = re.compile(r"[A-Za-z0-9_-]+")
 
 
 def extract_and_project(
@@ -58,6 +62,14 @@ def extract_and_project(
 
     out = webpages.map_batches(_extract, batch_format="pyarrow")
     if lang_filter:
+        # the code is interpolated into a filter expression — validate it so a
+        # quote (or anything else non-language-tag) can't break out of the
+        # string literal (BCP-47-ish codes only: letters, digits, '-', '_')
+        if not _LANG_CODE_RE.fullmatch(lang_filter):
+            raise ValueError(
+                f"lang_filter must be a language code matching "
+                f"{_LANG_CODE_RE.pattern!r}, got {lang_filter!r}"
+            )
         out = out.filter(expr=f"lang == '{lang_filter}'")
     return out
 
@@ -75,14 +87,27 @@ def run_webdedup(
     use_html: bool = True,
     id_col: str | None = None,
     lang_filter: str | None = None,
+    drop_counter: str | None = None,
 ) -> dict:
     """Full web dedup. Returns dict with docs/sigs/candidates/verified/
     clusters Datasets (checkpointed under out_dir when given).
     ``lang_filter`` restricts the corpus to one language code right after
     extraction (predicate on the input_hint ``lang`` column) — the usual
-    Common-Crawl per-language dedup shape."""
+    Common-Crawl per-language dedup shape.
+
+    Capped-path observability is ON by default: comparisons discarded by the
+    hot-band cap are counted (state.metrics) under a config-derived counter
+    name (override with ``drop_counter``), land in the candidates stage
+    manifest as ``drop_metrics`` when checkpointing, and are returned under
+    the ``drop_metrics`` key (read AFTER consuming the candidates Dataset —
+    counts ride inside the batch tasks)."""
+    from ..state.metrics import read_drops, reset_drops
+
     cfg = cfg or DedupConfig()
     ch = cfg.config_hash()
+    if drop_counter is None:
+        drop_counter = f"webdedup:{ch}"
+    reset_drops(drop_counter)
 
     def _docs():
         if id_col is not None:
@@ -117,11 +142,14 @@ def run_webdedup(
             minhash.explode_bands(sigs),
             max_block_size=cfg.max_block_size,
             num_partitions=num_partitions,
+            drop_counter=drop_counter,
+            drop_key="lsh_band_cap",
         )
 
     if out_dir:
         candidates, chain = ckpt.load_or_compute(
-            out_dir, "candidates", ch, chain, _candidates, resume=resume
+            out_dir, "candidates", ch, chain, _candidates, resume=resume,
+            metrics_fn=lambda: {"drop_metrics": read_drops(drop_counter)},
         )
     else:
         candidates = _candidates()
@@ -156,4 +184,6 @@ def run_webdedup(
         "verified": verified,
         "clusters": clusters,
         "lineage": chain,
+        # live view: totals accumulate as the candidates Dataset executes
+        "drop_metrics": lambda: read_drops(drop_counter),
     }

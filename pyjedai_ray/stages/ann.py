@@ -311,6 +311,7 @@ def lsh_neardup(
     max_block_size: int = 10_000,
     num_partitions: int = 32,
     score_round: int | None = 6,
+    drop_counter: str | None = None,
 ) -> ray.data.Dataset:
     """LSH-bucketed embedding near-dup: the scale path that needs NO trained
     quantizer (the alternative to the IVF/k-means route in encoding.py).
@@ -328,7 +329,8 @@ def lsh_neardup(
         id_col=id_col, vec_col=vec_col,
     )
     cands = candidate_pairs(
-        edges, max_block_size=max_block_size, num_partitions=num_partitions
+        edges, max_block_size=max_block_size, num_partitions=num_partitions,
+        drop_counter=drop_counter, drop_key="lsh_plane_cap",
     ).select_columns(["id1", "id2"])
     out = verify_pairs_vectors(
         cands, embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,

@@ -180,6 +180,8 @@ def _emit_pairs_partition(
     chain_oversize: bool,
     dataset_limit: int | None = None,
     salt_oversize: bool = False,
+    drop_counter: str | None = None,
+    drop_key: str = "oversized_blocks",
 ) -> pa.Table:
     """One hash partition of the edge list -> intra-block pairs.
 
@@ -187,6 +189,11 @@ def _emit_pairs_partition(
     the sorted key column: every run is one block. No per-group UDF calls —
     this is the hot path of candidate generation (millions of mostly-singleton
     LSH buckets; groupby machinery costs ~10x more here).
+
+    Every block above ``max_block_size`` is a capped path (chained, salted,
+    or dropped outright): with ``drop_counter`` set, the number of pairwise
+    comparisons the cap discarded (full C(n,2) minus what was emitted) is
+    reported under ``drop_key`` — SURVEY §4's no-silent-truncation rule.
     """
     import pyarrow.compute as pc
 
@@ -207,6 +214,8 @@ def _emit_pairs_partition(
     id1_out: list[np.ndarray] = []
     id2_out: list[np.ndarray] = []
     arcs_out: list[np.ndarray] = []
+    dropped = 0
+    oversize_events = 0
     for s, e in zip(starts, ends):
         block = np.unique(ids[s:e])
         n = block.size
@@ -231,9 +240,15 @@ def _emit_pairs_partition(
                     pb_.append(sub[ju])
             a = np.concatenate(pa_)
             b = np.concatenate(pb_)
+            oversize_events += 1
+            dropped += n * (n - 1) // 2 - a.size
         elif chain_oversize:
             a, b = block[:-1], block[1:]
+            oversize_events += 1
+            dropped += n * (n - 1) // 2 - a.size
         else:
+            oversize_events += 1
+            dropped += n * (n - 1) // 2
             continue
         if dataset_limit is not None:
             # Clean-Clean ER: keep only cross-dataset comparisons
@@ -249,6 +264,10 @@ def _emit_pairs_partition(
         # (comparison_cleaning.py:379-381 CN-CBS accumulation, clean form)
         card = n * (n - 1) / 2.0
         arcs_out.append(np.full(a.size, 1.0 / card))
+    if drop_counter is not None and oversize_events:
+        from ..state.metrics import report_drops
+
+        report_drops(drop_counter, drop_key, dropped, oversize_events)
     if not id1_out:
         return PAIRS_SCHEMA.empty_table()
     return pa.table(
@@ -299,6 +318,8 @@ def candidate_pairs(
     chain_oversize: bool = True,
     dataset_limit: int | None = None,
     salt_oversize: bool = False,
+    drop_counter: str | None = None,
+    drop_key: str = "oversized_blocks",
 ) -> ray.data.Dataset:
     """Edge list -> candidate pairs (id1, id2, cbs) with id1 < id2.
 
@@ -308,6 +329,9 @@ def candidate_pairs(
     run detection + vectorized pair emission -> hash-repartition by pair ->
     per-partition count. Two streaming shuffles, zero joins, zero per-group
     UDF calls.
+
+    ``drop_counter`` (a state.metrics counter name) makes every oversized
+    block's discarded comparisons a COUNTED metric under ``drop_key``.
     """
     ensure_context(edges)
     num_partitions = effective_partitions(num_partitions)
@@ -319,6 +343,8 @@ def candidate_pairs(
             "chain_oversize": chain_oversize,
             "dataset_limit": dataset_limit,
             "salt_oversize": salt_oversize,
+            "drop_counter": drop_counter,
+            "drop_key": drop_key,
         },
         batch_format="pyarrow",
         batch_size=None,

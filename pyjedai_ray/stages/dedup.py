@@ -84,10 +84,12 @@ def minhash_dedup(
     signer_concurrency=None,
     cluster_mode: str = "auto",
     verify_mode: str = "auto",
+    drop_counter: str | None = None,
 ) -> dict:
     """Flagship near-dup pipeline. Returns dict of the stage Datasets:
     sigs, candidates (id1,id2,cbs), verified (id1,id2,weight,hamming),
-    clusters (doc_id, cluster_id)."""
+    clusters (doc_id, cluster_id). ``drop_counter`` (state.metrics name)
+    counts comparisons discarded by the hot-band cap."""
     cfg = cfg or DedupConfig()
     sigs = minhash.sign(
         docs.select_columns([id_col, text_col]).rename_columns({id_col: "doc_id"}),
@@ -99,7 +101,8 @@ def minhash_dedup(
         sigs = sigs.materialize()  # consumed twice: band explode + verify
     band_edges = minhash.explode_bands(sigs)
     candidates = blocking.candidate_pairs(
-        band_edges, max_block_size=cfg.max_block_size, num_partitions=num_partitions
+        band_edges, max_block_size=cfg.max_block_size, num_partitions=num_partitions,
+        drop_counter=drop_counter, drop_key="lsh_band_cap",
     )
     verified = matching.verify_pairs(
         candidates, sigs, threshold=cfg.verify_threshold,
@@ -123,6 +126,7 @@ def simhash_dedup(
     num_partitions: int = 32,
     cluster_mode: str = "auto",
     verify_mode: str = "join",
+    drop_counter: str | None = None,
 ) -> dict:
     """SimHash near-dup: Hamming-LSH chunk keys -> candidates -> Hamming
     verification (keep pairs within cfg.simhash_hamming_max bits)."""
@@ -132,7 +136,8 @@ def simhash_dedup(
     )
     edges = minhash.explode_simhash_bands(sigs, bands=simhash_bands)
     candidates = blocking.candidate_pairs(
-        edges, max_block_size=cfg.max_block_size, num_partitions=num_partitions
+        edges, max_block_size=cfg.max_block_size, num_partitions=num_partitions,
+        drop_counter=drop_counter, drop_key="simhash_band_cap",
     )
     if verify_mode == "broadcast":
         sigs = sigs.materialize()

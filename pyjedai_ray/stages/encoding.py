@@ -297,6 +297,7 @@ def embeddings_nn_blocking(
     max_bucket: int = 100_000,
     oversize_mode: str = "raise",
     n_probe: int = 1,
+    drop_counter: str | None = None,
 ) -> ray.data.Dataset:
     """End-to-end EmbeddingsNNBlockBuilding: encode -> k-means quantize ->
     IVF top-k — no pre-existing label/bucket column required
@@ -312,9 +313,13 @@ def embeddings_nn_blocking(
     (same guard as ann.embedding_neardup): oversize_mode="raise" (default)
     refuses the O(b^2) matmul; oversize_mode="split" instead sub-divides the
     cell deterministically by doc-id hash into <= max_bucket sub-cells and
-    runs kNN within each — bounded cost, with the documented recall caveat
-    that cross-sub-cell neighbors inside the hot cell are not scored (the
-    IVF twin of LSH bucket salting, SURVEY.md §4 skew handling).
+    runs kNN within each — bounded cost, with the recall caveat that
+    cross-sub-cell neighbors inside the hot cell are not scored (the IVF
+    twin of LSH bucket salting, SURVEY.md §4 skew handling). With
+    ``drop_counter`` set, those unscored cross-sub-cell comparisons are a
+    COUNTED metric (state.metrics key ``ivf_split_cells``: C(n,2) minus the
+    sum of within-sub-cell C(n_i,2) per hot cell) so a production run can
+    quantify the recall trade instead of reading this caveat.
 
     n_probe > 1 enables multi-probe IVF on the self-join path: every doc
     queries its n_probe closest cells (indexed only in its primary cell —
@@ -384,6 +389,8 @@ def embeddings_nn_blocking(
         )
         out_q, out_n, out_s, out_r = [], [], [], []
         cells: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        split_dropped = 0
+        split_events = 0
         for s, e in zip(starts[:-1], starts[1:]):
             sub_ids, sub, sub_p = ids[s:e], m[s:e], prim[s:e]
             n = sub_ids.size
@@ -398,12 +405,21 @@ def embeddings_nn_blocking(
                     )
                 n_sub = -(-n // max_bucket)
                 salts = (sub_ids % np.int64(n_sub)).astype(np.int64)
+                kept_pairs = 0
                 for sv in range(n_sub):
                     sel = salts == sv
-                    if np.count_nonzero(sel) >= 2:
+                    nsel = int(np.count_nonzero(sel))
+                    kept_pairs += nsel * (nsel - 1) // 2
+                    if nsel >= 2:
                         cells.append((sub_ids[sel], sub[sel], sub_p[sel]))
+                split_events += 1
+                split_dropped += n * (n - 1) // 2 - kept_pairs
                 continue
             cells.append((sub_ids, sub, sub_p))
+        if drop_counter is not None and split_events:
+            from ..state.metrics import report_drops
+
+            report_drops(drop_counter, "ivf_split_cells", split_dropped, split_events)
         for sub_ids, sub, sub_p in cells:
             n = sub_ids.size
             if sub_p.all():

@@ -19,8 +19,9 @@ set-based metrics are what the EJoin/TopKJoin defaults use).
 Skew note: similarity joins need EXACT common counts, so oversized-block
 chaining is off; instead ultra-frequent tokens above ``max_token_freq`` are
 dropped from the index (a standard prefix-filter-style approximation — their
-contribution to any pair's common count is bounded by the drop count, and the
-drop is logged via the returned stats, not silent).
+contribution to any pair's common count is bounded by the drop count). Pass
+``drop_counter`` (a state.metrics counter name) to COUNT the discarded
+comparisons under the ``token_freq_cap`` key — no silent truncation.
 """
 
 from __future__ import annotations
@@ -55,14 +56,19 @@ def _token_edges(
 
 
 def _pair_commons(
-    edges: ray.data.Dataset, max_token_freq: int, num_partitions: int
+    edges: ray.data.Dataset,
+    max_token_freq: int,
+    num_partitions: int,
+    drop_counter: str | None = None,
 ) -> ray.data.Dataset:
     """(id1, id2, common) — distinct shared-token counts per pair.
 
     Reuses the fast candidate machinery (keyed repartition + per-partition
     run detection): tokens above ``max_token_freq`` are the oversized blocks,
     and with chaining off they contribute nothing — exactly the
-    ultra-frequent-token drop this join wants."""
+    ultra-frequent-token drop this join wants. With ``drop_counter`` the
+    discarded per-token comparisons are counted under ``token_freq_cap``
+    (each dropped comparison lowers one pair's common count by at most 1)."""
     from .blocking import candidate_pairs
 
     out = candidate_pairs(
@@ -70,6 +76,8 @@ def _pair_commons(
         max_block_size=max_token_freq,
         num_partitions=num_partitions,
         chain_oversize=False,
+        drop_counter=drop_counter,
+        drop_key="token_freq_cap",
     )
     return out.select_columns(["id1", "id2", "cbs"]).rename_columns({"cbs": "common"})
 
@@ -144,11 +152,12 @@ def ejoin(
     text_col: str = "text",
     max_token_freq: int = 10_000,
     num_partitions: int = 32,
+    drop_counter: str | None = None,
 ) -> ray.data.Dataset:
     """Threshold similarity self-join (EJoin, joins.py:350-379; default
     cosine >= 0.82). Returns (id1, id2, weight) with id1 < id2."""
     edges = _token_edges(ds, tokenization, qgrams, id_col, text_col).materialize()
-    commons = _pair_commons(edges, max_token_freq, num_partitions)
+    commons = _pair_commons(edges, max_token_freq, num_partitions, drop_counter)
     sims = _with_similarity(commons, _doc_token_counts(edges), metric, num_partitions)
     return sims.filter(expr=f"weight >= {threshold!r}")
 
@@ -163,6 +172,7 @@ def topk_join(
     text_col: str = "text",
     max_token_freq: int = 10_000,
     num_partitions: int = 32,
+    drop_counter: str | None = None,
 ) -> ray.data.Dataset:
     """Per-probe-entity top-K join (TopKJoin, joins.py:381-435): for every
     entity keep its K most similar neighbors (both directions considered);
@@ -170,7 +180,7 @@ def topk_join(
     keyed-repartition per-center top-k (blocking.per_center_topk), not
     groupby().map_groups."""
     edges = _token_edges(ds, tokenization, qgrams, id_col, text_col).materialize()
-    commons = _pair_commons(edges, max_token_freq, num_partitions)
+    commons = _pair_commons(edges, max_token_freq, num_partitions, drop_counter)
     sims = _with_similarity(commons, _doc_token_counts(edges), metric, num_partitions)
     return per_center_topk(directed_pairs(sims), k, num_partitions=num_partitions)
 
@@ -213,6 +223,7 @@ def pe_topk_join(
     max_token_freq: int = 10_000,
     num_partitions: int = 32,
     dataset_limit: int | None = None,
+    drop_counter: str | None = None,
 ) -> ray.data.Dataset:
     """Strict progressive top-K cross-join (PETopKJoin, joins.py:437-551):
     per INDEXED (ds2) entity keep its K best target candidates, then per
@@ -246,6 +257,8 @@ def pe_topk_join(
         num_partitions=num_partitions,
         chain_oversize=False,
         dataset_limit=dataset_limit,
+        drop_counter=drop_counter,
+        drop_key="token_freq_cap",
     ).select_columns(["id1", "id2", "cbs"]).rename_columns({"cbs": "common"})
     sims = _with_similarity(commons, _doc_token_counts(edges), metric, num_partitions)
     # canonical pairs have id1 < dataset_limit <= id2: id1 = target (ds1),

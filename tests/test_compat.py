@@ -249,3 +249,20 @@ def test_meta_blocking_factory():
         obj = get_meta_blocking_approach("NOPE", "CBS")
     assert isinstance(obj, ComparisonPropagation)
     assert w
+
+
+def test_driver_export_guard():
+    """The facade's DataFrame exports are guarded: a result larger than the
+    driver-export cap raises with guidance instead of OOMing the driver."""
+    import pyarrow as pa
+    import ray.data
+
+    from pyjedai_ray.compat import _guarded_to_pandas
+
+    small = ray.data.from_arrow(
+        pa.table({"id1": pa.array([0, 1], pa.int64()), "id2": pa.array([1, 2], pa.int64())})
+    )
+    df = _guarded_to_pandas(small, "test")
+    assert len(df) == 2
+    with pytest.raises(ValueError, match="driver-side export cap"):
+        _guarded_to_pandas(small, "test", limit=1)

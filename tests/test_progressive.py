@@ -78,3 +78,68 @@ def test_progressive_entity_scheduling_alias():
     w = _directed([(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0)])
     out = progressive_entity_scheduling(w, budget=2, method="DFS", num_partitions=2)
     assert out.count() == 2
+
+
+def test_pes_order_pinned_vs_serial_scheduler():
+    """PES value-proof (VERDICT r3 #3): the columnar emission order equals an
+    INDEPENDENT serial simulation of the reference's per-entity best-first
+    scheduler (comparison_cleaning.py:984-1086 semantics: entities visited by
+    descending neighborhood average — ties pinned by center id — HB = one
+    best-neighbor pop per entity first, then drain each neighborhood in
+    (weight desc, neighbor asc) order; a pair emits only at its first
+    occurrence). Checked at EVERY budget prefix."""
+    import ray.data
+
+    from pyjedai_ray.stages.meta_blocking import progressive_entity_scheduling
+
+    # weighted pair graph with ties in weights and in neighborhood averages
+    pairs = [
+        (0, 1, 0.9), (0, 2, 0.5), (1, 2, 0.7), (2, 3, 0.7),
+        (3, 4, 0.9), (4, 5, 0.5), (1, 5, 0.3), (0, 5, 0.3),
+    ]
+    weighted = ray.data.from_arrow(
+        pa.table(
+            {
+                "id1": pa.array([p[0] for p in pairs], pa.int64()),
+                "id2": pa.array([p[1] for p in pairs], pa.int64()),
+                "weight": pa.array([p[2] for p in pairs], pa.float64()),
+            }
+        )
+    )
+
+    # serial scheduler simulation (independent of the columnar plan)
+    nbhd: dict[int, list[tuple[float, int]]] = {}
+    for a, b, w in pairs:
+        nbhd.setdefault(a, []).append((w, b))
+        nbhd.setdefault(b, []).append((w, a))
+    for v in nbhd:
+        nbhd[v].sort(key=lambda t: (-t[0], t[1]))
+    centers = sorted(nbhd, key=lambda v: (-sum(w for w, _ in nbhd[v]) / len(nbhd[v]), v))
+    seen: set[tuple[int, int]] = set()
+    expected: list[tuple[int, int, float]] = []
+    for v in centers:  # HB phase 1: one best pop per center
+        w, u = nbhd[v][0]
+        if (min(v, u), max(v, u)) not in seen:
+            seen.add((min(v, u), max(v, u)))
+            expected.append((v, u, w))
+    for v in centers:  # HB phase 2: drain the rest, DFS per center
+        for w, u in nbhd[v][1:]:
+            if (min(v, u), max(v, u)) not in seen:
+                seen.add((min(v, u), max(v, u)))
+                expected.append((v, u, w))
+
+    full = [
+        (r["id1"], r["id2"], r["weight"])
+        for r in progressive_entity_scheduling(
+            weighted, budget=100, method="HB", num_partitions=2
+        ).take_all()
+    ]
+    assert full == expected
+    for budget in range(1, len(expected) + 1):  # every prefix honors budget
+        got = [
+            (r["id1"], r["id2"], r["weight"])
+            for r in progressive_entity_scheduling(
+                weighted, budget=budget, method="HB", num_partitions=2
+            ).take_all()
+        ]
+        assert got == expected[:budget], f"budget={budget}"

@@ -121,3 +121,18 @@ def test_webdedup_lang_filter(ray_session):
     docs = res["docs"]
     assert docs.count() > 0
     assert {r["lang"] for r in docs.take_all()} == {pick}
+
+
+def test_lang_filter_rejects_expression_injection(ray_session):
+    """lang_filter is interpolated into a filter expression: anything that
+    isn't a plain language code (quotes especially) must raise, not break
+    out of the string literal."""
+    from pyjedai_ray.pipelines.webdedup import extract_and_project
+    from pyjedai_ray.sources.webpages import synthesize_webpages
+
+    wp = synthesize_webpages("/root/testdata/sf0.001")
+    for bad in ("en' or lang != 'en", 'en"', "en;--", "e n"):
+        with pytest.raises(ValueError, match="lang_filter"):
+            extract_and_project(wp, lang_filter=bad)
+    # plain codes (incl. region subtags) still pass
+    assert extract_and_project(wp, use_html=False, lang_filter="pt-BR") is not None
