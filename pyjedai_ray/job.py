@@ -1,0 +1,112 @@
+"""``ray job submit`` entrypoint for the flagship web-dedup pipeline.
+
+The north rule's deployment shape is a fixed-size multi-node Ray cluster
+driven by Ray's job API; this module is the submittable driver:
+
+  ray job submit --working-dir . -- \\
+      python -m pyjedai_ray.job --input /data/webpages --out /data/dedup \\
+          --lang en --num-partitions 512
+
+Inside the job, ``ray.init()`` with no address connects to the hosting
+cluster (standalone invocations fall back to a local session). Every stage
+checkpoints under ``--out`` (partitioned Parquet + per-partition lineage
+manifest, pipelines/checkpoint.py), so re-submitting the same job after a
+failure resumes from the last stage whose manifest validates; capped-path
+drop totals land in the candidates stage manifest and the final summary.
+
+The driver prints ONE JSON summary line (doc/cluster counts, lineage chain,
+drop metrics) — the machine-readable contract for whatever submitted the job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m pyjedai_ray.job",
+        description="MinHash-LSH web dedup over Common-Crawl-shaped Parquet "
+        "(url, warc_ts, html, text, lang) -> duplicate clusters",
+    )
+    p.add_argument("--input", required=True, help="input Parquet path/dir")
+    p.add_argument("--out", required=True, help="checkpoint + output directory")
+    p.add_argument("--lang", default=None, help="restrict to one language code")
+    p.add_argument("--no-resume", action="store_true",
+                   help="recompute every stage even if manifests validate")
+    p.add_argument("--no-html", action="store_true",
+                   help="trust the text column instead of re-extracting from html")
+    p.add_argument("--num-partitions", type=int, default=32,
+                   help="shuffle width; size so one partition fits a worker heap")
+    p.add_argument("--signer-batch-size", type=int, default=256)
+    p.add_argument("--verify-mode", default="auto",
+                   choices=["auto", "broadcast", "join"])
+    p.add_argument("--cluster-mode", default="auto",
+                   choices=["auto", "driver", "distributed"])
+    # DedupConfig knobs (north rule: identical shingle/signature configs)
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--num-perms", type=int, default=128)
+    p.add_argument("--bands", type=int, default=16)
+    p.add_argument("--rows", type=int, default=8)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max-block-size", type=int, default=64)
+    p.add_argument("--verify-threshold", type=float, default=0.8)
+    return p
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        # under `ray job submit` this attaches to the hosting cluster
+        # (RAY_ADDRESS is set by the job runtime); standalone it starts a
+        # local session
+        ray.init(include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    from .config import DedupConfig
+    from .pipelines.webdedup import run_webdedup
+
+    cfg = DedupConfig(
+        shingle_k=args.shingle_k,
+        num_perms=args.num_perms,
+        bands=args.bands,
+        rows=args.rows,
+        seed=args.seed,
+        max_block_size=args.max_block_size,
+        verify_threshold=args.verify_threshold,
+    )
+    webpages = ray.data.read_parquet(args.input)
+    res = run_webdedup(
+        webpages,
+        cfg,
+        out_dir=args.out,
+        resume=not args.no_resume,
+        num_partitions=args.num_partitions,
+        signer_batch_size=args.signer_batch_size,
+        verify_mode=args.verify_mode,
+        cluster_mode=args.cluster_mode,
+        use_html=not args.no_html,
+        lang_filter=args.lang,
+    )
+    summary = {
+        "metric": "webdedup_job",
+        "out": args.out,
+        "config_hash": cfg.config_hash(),
+        "lineage": res["lineage"],
+        "n_docs": res["docs"].count(),
+        "n_candidates": res["candidates"].count(),
+        "n_verified": res["verified"].count(),
+        "n_clustered": res["clusters"].count(),
+        "drop_metrics": res["drop_metrics"](),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

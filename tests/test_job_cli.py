@@ -1,0 +1,48 @@
+"""ray-job-submit driver (pyjedai_ray.job): CLI arg plumbing + end-to-end
+run + resume, inside the session-scoped Ray fixture (the module's init guard
+skips ray.init when a session exists — exactly the job-runtime shape)."""
+
+import json
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_job_cli_end_to_end_and_resume(tmp_path, capsys, ray_session):
+    from pyjedai_ray.job import main
+    from pyjedai_ray.pipelines import checkpoint as ckpt
+    from pyjedai_ray.sources.webpages import synthesize_webpages
+
+    inp = str(tmp_path / "webpages")
+    out = str(tmp_path / "dedup")
+    synthesize_webpages("/root/testdata/sf0.001").drop_columns(
+        ["doc_id", "gt_cluster"]
+    ).write_parquet(inp)
+
+    summary = main(["--input", inp, "--out", out, "--num-partitions", "4",
+                    "--cluster-mode", "driver", "--verify-mode", "broadcast"])
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line) == summary
+    assert summary["n_docs"] > 0
+    assert summary["n_clustered"] > 0
+    assert "lsh_band_cap" in summary["drop_metrics"] or summary["drop_metrics"] == {}
+
+    # the candidates manifest carries the counted drops
+    m = ckpt.read_manifest(f"{out}/candidates")
+    assert "drop_metrics" in m["metrics"]
+
+    # resubmission resumes: same lineage, same counts
+    again = main(["--input", inp, "--out", out, "--num-partitions", "4",
+                  "--cluster-mode", "driver", "--verify-mode", "broadcast"])
+    assert again["lineage"] == summary["lineage"]
+    assert again["n_clustered"] == summary["n_clustered"]
+
+
+def test_job_cli_config_knobs(tmp_path, ray_session):
+    from pyjedai_ray.job import build_parser
+
+    a = build_parser().parse_args(
+        ["--input", "x", "--out", "y", "--bands", "8", "--rows", "16", "--lang", "en"]
+    )
+    assert (a.bands, a.rows, a.lang) == (8, 16, "en")
