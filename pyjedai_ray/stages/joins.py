@@ -29,11 +29,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 from ..functions.tokenize import qgram_keys, standard_tokens
 from .blocking import directed_pairs, explode_keys, per_center_topk
-from .exchange import appended, ensure_context, hash_join, stamp_schema
+from .exchange import appended, hash_join
 
 JOIN_METRICS = ("cosine", "dice", "jaccard")
 
@@ -82,10 +81,65 @@ def _pair_commons(
     return out.select_columns(["id1", "id2", "cbs"]).rename_columns({"cbs": "common"})
 
 
-def _doc_token_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
-    ensure_context()
-    out = edges.groupby("doc_id").aggregate(Count(alias_name="ntok"))
-    return stamp_schema(out, pa.schema([("doc_id", pa.int64()), ("ntok", pa.int64())]))
+def _doc_token_counts_direct(
+    ds: ray.data.Dataset,
+    tokenization: str,
+    qgrams: int,
+    id_col: str,
+    text_col: str,
+) -> ray.data.Dataset:
+    """(doc_id, ntok) WITHOUT a shuffle: every keyer emits one edge per
+    DISTINCT key per doc, so ``ntok == len(keyer(text))`` is a per-row
+    property — an embarrassingly-parallel map over the docs replaces the
+    ``edges.groupby(doc_id)`` exchange at every scale."""
+    from ..functions.tokenize import (
+        qgram_multiset_keys,
+        standard_multiset_tokens,
+    )
+
+    fn = {
+        "standard": standard_tokens,
+        "qgrams": lambda t: qgram_keys(t, q=qgrams),
+        "standard_multiset": standard_multiset_tokens,
+        "qgrams_multiset": lambda t: qgram_multiset_keys(t, q=qgrams),
+    }[tokenization]
+
+    def _count(batch: pa.Table) -> pa.Table:
+        n = [len(fn(t or "")) for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "ntok": pa.array(n, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _count, batch_format="pyarrow"
+    )
+
+
+def _sim_fn(metric: str):
+    def _sim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "common" not in batch.column_names:
+            return pa.schema(
+                [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
+            ).empty_table()
+        c = batch["common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n1 = batch["n1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n2 = batch["n2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if metric == "cosine":
+            w = c / np.sqrt(n1 * n2)
+        elif metric == "dice":
+            w = 2.0 * c / (n1 + n2)
+        elif metric == "jaccard":
+            w = c / (n1 + n2 - c)
+        else:
+            raise ValueError(f"unknown metric {metric}")
+        return pa.table(
+            {"id1": batch["id1"], "id2": batch["id2"], "weight": pa.array(w, pa.float64())}
+        )
+
+    return _sim
 
 
 def _with_similarity(
@@ -93,8 +147,87 @@ def _with_similarity(
     counts: ray.data.Dataset,
     metric: str,
     num_partitions: int,
+    counts_mode: str = "auto",
 ) -> ray.data.Dataset:
+    """Attach per-doc token counts to the pair common-counts and compute the
+    similarity. counts_mode:
+
+    "join" — two distributed hash joins; the only option when the corpus is
+    too large for any one node's object-store share.
+    "broadcast" — the counts side is 16 bytes/doc: build ONE sorted
+    (doc_id -> ntok) numpy lookup in the object store (``ray.put`` once via a
+    remote build task, zero-copy ``ray.get`` per map task) and resolve n1/n2
+    with vectorized ``searchsorted`` — no shuffle, no barrier.
+    "auto" — broadcast below matching.BROADCAST_DOC_LIMIT docs, else join
+    (same crossover as the dedup verify stage)."""
     from .exchange import barrier
+
+    if counts_mode == "auto":
+        from .matching import BROADCAST_DOC_LIMIT
+
+        counts = counts.materialize()
+        counts_mode = (
+            "broadcast" if counts.count() <= BROADCAST_DOC_LIMIT else "join"
+        )
+
+    if counts_mode == "broadcast":
+        import ray as _ray
+
+        @_ray.remote
+        def _build_lookup(*blocks: pa.Table):
+            ids_parts = [
+                b["doc_id"].to_numpy(zero_copy_only=False)
+                for b in blocks
+                if b.num_columns
+            ]
+            nt_parts = [
+                b["ntok"].to_numpy(zero_copy_only=False)
+                for b in blocks
+                if b.num_columns
+            ]
+            ids = (
+                np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+            )
+            nt = np.concatenate(nt_parts) if nt_parts else np.empty(0, np.int64)
+            order = np.argsort(ids, kind="stable")
+            return ids[order], nt[order]
+
+        mat = counts.materialize()
+        ref = _build_lookup.remote(*mat.to_arrow_refs())
+        sim = _sim_fn(metric)
+
+        def _attach_and_sim(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "common" not in batch.column_names:
+                return sim(batch)
+            ids_sorted, nt = _ray.get(ref)  # zero-copy plasma read
+            i1 = batch["id1"].to_numpy(zero_copy_only=False)
+            i2 = batch["id2"].to_numpy(zero_copy_only=False)
+            p1 = np.searchsorted(ids_sorted, i1)
+            p2 = np.searchsorted(ids_sorted, i2)
+            # searchsorted yields an insertion point even for ABSENT ids —
+            # that would be a silently wrong count; fail loudly instead
+            if (
+                p1.size
+                and not (
+                    np.all(p1 < ids_sorted.size)
+                    and np.all(p2 < ids_sorted.size)
+                    and np.array_equal(ids_sorted[p1], i1)
+                    and np.array_equal(ids_sorted[p2], i2)
+                )
+            ):
+                raise KeyError(
+                    "pair ids missing from the per-doc token-count lookup — "
+                    "commons and counts were built from different datasets"
+                )
+            n1 = nt[p1]
+            n2 = nt[p2]
+            return sim(
+                batch.append_column("n1", pa.array(n1, pa.int64())).append_column(
+                    "n2", pa.array(n2, pa.int64())
+                )
+            )
+
+        return commons.map_batches(_attach_and_sim, batch_format="pyarrow")
 
     i64 = pa.int64()
     commons_schema = pa.schema([("id1", i64), ("id2", i64), ("common", i64)])
@@ -118,28 +251,7 @@ def _with_similarity(
         left_schema=appended(commons_schema, [("n1", i64)]),
         right_schema=pa.schema([("id2", i64), ("n2", i64)]),
     )
-
-    def _sim(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "common" not in batch.column_names:
-            return pa.schema(
-                [("id1", pa.int64()), ("id2", pa.int64()), ("weight", pa.float64())]
-            ).empty_table()
-        c = batch["common"].to_numpy(zero_copy_only=False).astype(np.float64)
-        n1 = batch["n1"].to_numpy(zero_copy_only=False).astype(np.float64)
-        n2 = batch["n2"].to_numpy(zero_copy_only=False).astype(np.float64)
-        if metric == "cosine":
-            w = c / np.sqrt(n1 * n2)
-        elif metric == "dice":
-            w = 2.0 * c / (n1 + n2)
-        elif metric == "jaccard":
-            w = c / (n1 + n2 - c)
-        else:
-            raise ValueError(f"unknown metric {metric}")
-        return pa.table(
-            {"id1": batch["id1"], "id2": batch["id2"], "weight": pa.array(w, pa.float64())}
-        )
-
-    return p.map_batches(_sim, batch_format="pyarrow")
+    return p.map_batches(_sim_fn(metric), batch_format="pyarrow")
 
 
 def ejoin(
@@ -153,12 +265,14 @@ def ejoin(
     max_token_freq: int = 10_000,
     num_partitions: int = 32,
     drop_counter: str | None = None,
+    counts_mode: str = "auto",
 ) -> ray.data.Dataset:
     """Threshold similarity self-join (EJoin, joins.py:350-379; default
     cosine >= 0.82). Returns (id1, id2, weight) with id1 < id2."""
     edges = _token_edges(ds, tokenization, qgrams, id_col, text_col).materialize()
     commons = _pair_commons(edges, max_token_freq, num_partitions, drop_counter)
-    sims = _with_similarity(commons, _doc_token_counts(edges), metric, num_partitions)
+    counts = _doc_token_counts_direct(ds, tokenization, qgrams, id_col, text_col)
+    sims = _with_similarity(commons, counts, metric, num_partitions, counts_mode)
     return sims.filter(expr=f"weight >= {threshold!r}")
 
 
@@ -173,16 +287,22 @@ def topk_join(
     max_token_freq: int = 10_000,
     num_partitions: int = 32,
     drop_counter: str | None = None,
+    counts_mode: str = "auto",
 ) -> ray.data.Dataset:
     """Per-probe-entity top-K join (TopKJoin, joins.py:381-435): for every
     entity keep its K most similar neighbors (both directions considered);
     deterministic tie order (weight desc, neighbor asc). Final stage is the
     keyed-repartition per-center top-k (blocking.per_center_topk), not
     groupby().map_groups."""
+    from .exchange import barrier
+
     edges = _token_edges(ds, tokenization, qgrams, id_col, text_col).materialize()
     commons = _pair_commons(edges, max_token_freq, num_partitions, drop_counter)
-    sims = _with_similarity(commons, _doc_token_counts(edges), metric, num_partitions)
-    return per_center_topk(directed_pairs(sims), k, num_partitions=num_partitions)
+    counts = _doc_token_counts_direct(ds, tokenization, qgrams, id_col, text_col)
+    sims = _with_similarity(commons, counts, metric, num_partitions, counts_mode)
+    # barrier: sims ends in (or streams from) a hash exchange and
+    # per_center_topk opens another — see _with_similarity's barrier note
+    return per_center_topk(directed_pairs(barrier(sims)), k, num_partitions=num_partitions)
 
 
 def topk_join_pm(
@@ -260,7 +380,8 @@ def pe_topk_join(
         drop_counter=drop_counter,
         drop_key="token_freq_cap",
     ).select_columns(["id1", "id2", "cbs"]).rename_columns({"cbs": "common"})
-    sims = _with_similarity(commons, _doc_token_counts(edges), metric, num_partitions)
+    counts = _doc_token_counts_direct(both, tokenization, qgrams, id_col, text_col)
+    sims = _with_similarity(commons, counts, metric, num_partitions)
     # canonical pairs have id1 < dataset_limit <= id2: id1 = target (ds1),
     # id2 = indexed (ds2). Stage 1: per-indexed top-k (swap so the center is
     # id2); stage 2: per-target top-k over the survivors.

@@ -375,3 +375,39 @@ def test_block_filtering_partition_invariance():
         out = block_filtering(edges, ratio=0.6, num_partitions=np_)
         results.append(sorted((r["key"], r["doc_id"]) for r in out.take_all()))
     assert results[0] == results[1]
+
+
+def test_ejoin_counts_mode_parity():
+    """The broadcast counts path (small-corpus default) and the hash-join
+    counts path (the 100-TB route) must produce identical similarity sets —
+    auto picks per scale, so BOTH must stay exercised. Multiset tokenization
+    pins the shuffle-free per-doc counter's bag semantics too."""
+    import ray.data
+
+    from pyjedai_ray.stages.joins import ejoin
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    "red green blue red",
+                    "red green blue",
+                    "yellow purple cyan yellow",
+                    "red blue green",
+                ],
+            }
+        )
+    )
+    for tok in ("standard", "standard_multiset"):
+        res = {}
+        for mode in ("broadcast", "join"):
+            rows = ejoin(
+                docs, threshold=0.5, tokenization=tok,
+                num_partitions=4, counts_mode=mode,
+            ).take_all()
+            res[mode] = sorted(
+                (r["id1"], r["id2"], round(r["weight"], 12)) for r in rows
+            )
+        assert res["broadcast"] == res["join"], tok
+        assert len(res["join"]) > 0, tok
