@@ -85,9 +85,10 @@ def run_query_suite(num_cpus: int) -> dict:
 
     out = {}
     docs = read_documents(SF_DIR, ["doc_id", "text"]).materialize()
+    n_docs = docs.count()
 
     t0 = time.time()
-    dedup.exact_dedup(docs, num_partitions=NUM_CPUS).count()
+    dedup.exact_dedup(docs, num_partitions=NUM_CPUS, input_rows=n_docs).count()
     out["exact_dedup"] = round(time.time() - t0, 3)
 
     t0 = time.time()
@@ -98,7 +99,7 @@ def run_query_suite(num_cpus: int) -> dict:
     t0 = time.time()
     blocking.candidate_pairs(
         minhash.explode_bands(sigs), max_block_size=cfg.max_block_size,
-        num_partitions=NUM_CPUS,
+        num_partitions=NUM_CPUS, input_rows=n_docs * cfg.bands,
     ).count()
     out["lsh_candidates"] = round(time.time() - t0, 3)
 

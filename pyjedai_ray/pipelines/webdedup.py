@@ -138,12 +138,21 @@ def run_webdedup(
         sigs = _sigs().materialize() if verify_mode in ("broadcast", "auto") else _sigs()
 
     def _candidates():
+        # edge volume = n_sigs x bands; counting a materialized/checkpointed
+        # sigs is metadata-cheap and right-sizes the exchange (skip the hint
+        # when sigs is still a lazy plan — counting would execute it twice)
+        rows_hint = (
+            sigs.count() * cfg.bands
+            if (out_dir or verify_mode in ("broadcast", "auto"))
+            else None
+        )
         return blocking.candidate_pairs(
             minhash.explode_bands(sigs),
             max_block_size=cfg.max_block_size,
             num_partitions=num_partitions,
             drop_counter=drop_counter,
             drop_key="lsh_band_cap",
+            input_rows=rows_hint,
         )
 
     if out_dir:

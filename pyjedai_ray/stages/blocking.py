@@ -320,6 +320,7 @@ def candidate_pairs(
     salt_oversize: bool = False,
     drop_counter: str | None = None,
     drop_key: str = "oversized_blocks",
+    input_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Edge list -> candidate pairs (id1, id2, cbs) with id1 < id2.
 
@@ -332,9 +333,11 @@ def candidate_pairs(
 
     ``drop_counter`` (a state.metrics counter name) makes every oversized
     block's discarded comparisons a COUNTED metric under ``drop_key``.
+    ``input_rows`` (optional) is a cheap edge-count hint that right-sizes
+    the exchange for small corpora (exchange.effective_partitions).
     """
     ensure_context(edges)
-    num_partitions = effective_partitions(num_partitions)
+    num_partitions = effective_partitions(num_partitions, rows=input_rows)
     parts = edges.repartition(num_partitions, keys=["key"])
     pairs = parts.map_batches(
         _emit_pairs_partition,

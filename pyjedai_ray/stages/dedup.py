@@ -37,11 +37,13 @@ def exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 32,
+    input_rows: int | None = None,
 ) -> ray.data.Dataset:
     """(doc_id, cluster_id) where cluster_id = min doc_id among byte-equal
     normalized texts. ONE hash shuffle keyed by the md5 fingerprint (never the
     text itself — fingerprints are 32 bytes, texts are KBs), then a
-    per-partition sorted-run min assignment. No groupby machinery, no join."""
+    per-partition sorted-run min assignment. No groupby machinery, no join.
+    ``input_rows`` (doc count, optional) right-sizes the exchange."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -50,7 +52,9 @@ def exact_dedup(
     fp = add_fingerprint(docs.select_columns([id_col, text_col]), text_col).select_columns(
         [id_col, "fingerprint"]
     )
-    parts = fp.repartition(effective_partitions(num_partitions), keys=["fingerprint"])
+    parts = fp.repartition(
+        effective_partitions(num_partitions, rows=input_rows), keys=["fingerprint"]
+    )
 
     def _assign(batch: pa.Table) -> pa.Table:
         out_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
@@ -100,9 +104,11 @@ def minhash_dedup(
     if verify_mode in ("broadcast", "auto"):
         sigs = sigs.materialize()  # consumed twice: band explode + verify
     band_edges = minhash.explode_bands(sigs)
+    # edge volume is exactly n_sigs x bands — free hint when materialized
+    rows_hint = sigs.count() * cfg.bands if verify_mode in ("broadcast", "auto") else None
     candidates = blocking.candidate_pairs(
         band_edges, max_block_size=cfg.max_block_size, num_partitions=num_partitions,
-        drop_counter=drop_counter, drop_key="lsh_band_cap",
+        drop_counter=drop_counter, drop_key="lsh_band_cap", input_rows=rows_hint,
     )
     verified = matching.verify_pairs(
         candidates, sigs, threshold=cfg.verify_threshold,

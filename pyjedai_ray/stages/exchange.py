@@ -141,14 +141,26 @@ def barrier(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.materialize()
 
 
-def effective_partitions(requested: int) -> int:
+# target rows per hash-shuffle partition when the caller knows the input
+# volume: below this, extra partitions only add per-partition exchange
+# overhead (measured: 21k-doc LSH candidates 4.6-6.0s at 32 partitions vs
+# ~3.0s at 8 on the same host). Web-scale inputs blow straight past the
+# caller's requested count, so the hint never shrinks a big job.
+ROWS_PER_PARTITION = 131_072
+
+
+def effective_partitions(requested: int, rows: int | None = None) -> int:
     """Clamp a partition count to the cluster-sized shuffle parallelism.
 
     Requesting far more hash-shuffle partitions than the cluster has cores
     starves the aggregator actor pool (Ray waits minutes for actors that will
     never fit). Callers pass their ideal partitioning; the clamp adapts it to
-    the session."""
+    the session. ``rows`` (optional, a cheap row-count hint for the exchange
+    input) additionally caps partitions to ~ROWS_PER_PARTITION rows each,
+    floor 8 — small corpora stop paying 32-partition fixed overhead."""
     ensure_context()
+    if rows is not None:
+        requested = min(requested, max(8, rows // ROWS_PER_PARTITION + 1))
     ctx = ray.data.DataContext.get_current()
     return max(2, min(requested, ctx.default_hash_shuffle_parallelism))
 
