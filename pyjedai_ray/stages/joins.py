@@ -59,6 +59,7 @@ def _pair_commons(
     max_token_freq: int,
     num_partitions: int,
     drop_counter: str | None = None,
+    input_rows: int | None = None,
 ) -> ray.data.Dataset:
     """(id1, id2, common) — distinct shared-token counts per pair.
 
@@ -77,6 +78,7 @@ def _pair_commons(
         chain_oversize=False,
         drop_counter=drop_counter,
         drop_key="token_freq_cap",
+        input_rows=input_rows,
     )
     return out.select_columns(["id1", "id2", "cbs"]).rename_columns({"cbs": "common"})
 
@@ -270,7 +272,10 @@ def ejoin(
     """Threshold similarity self-join (EJoin, joins.py:350-379; default
     cosine >= 0.82). Returns (id1, id2, weight) with id1 < id2."""
     edges = _token_edges(ds, tokenization, qgrams, id_col, text_col).materialize()
-    commons = _pair_commons(edges, max_token_freq, num_partitions, drop_counter)
+    commons = _pair_commons(
+        edges, max_token_freq, num_partitions, drop_counter,
+        input_rows=edges.count(),
+    )
     counts = _doc_token_counts_direct(ds, tokenization, qgrams, id_col, text_col)
     sims = _with_similarity(commons, counts, metric, num_partitions, counts_mode)
     return sims.filter(expr=f"weight >= {threshold!r}")
@@ -297,7 +302,10 @@ def topk_join(
     from .exchange import barrier
 
     edges = _token_edges(ds, tokenization, qgrams, id_col, text_col).materialize()
-    commons = _pair_commons(edges, max_token_freq, num_partitions, drop_counter)
+    commons = _pair_commons(
+        edges, max_token_freq, num_partitions, drop_counter,
+        input_rows=edges.count(),
+    )
     counts = _doc_token_counts_direct(ds, tokenization, qgrams, id_col, text_col)
     sims = _with_similarity(commons, counts, metric, num_partitions, counts_mode)
     # barrier: sims ends in (or streams from) a hash exchange and
