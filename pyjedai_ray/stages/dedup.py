@@ -32,6 +32,70 @@ def add_fingerprint(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.
     return docs.map_batches(_fp, batch_format="pyarrow")
 
 
+def url_dedup(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    num_partitions: int = 32,
+    input_rows: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, curl, cluster_id) — canonical-URL exact dedup, the standard
+    Common-Crawl re-crawl / mirror collapse step. ``curl`` is
+    functions.text.canonical_url's form (scheme/www/tracking-param/fragment
+    stripped); cluster_id = min doc_id per canonical URL. ONE hash exchange
+    keyed on the canonical string (URLs are short — no fingerprint
+    indirection needed), then the same per-partition sorted-run min
+    assignment as exact_dedup."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.text import canonical_url
+    from .exchange import effective_partitions
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        curls = [canonical_url(u or "") for u in batch[url_col].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "curl": pa.array(curls, pa.string()),
+            }
+        )
+
+    c = docs.select_columns([id_col, url_col]).map_batches(
+        _canon, batch_format="pyarrow"
+    )
+    parts = c.repartition(
+        effective_partitions(num_partitions, rows=input_rows), keys=["curl"]
+    )
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("curl", pa.string()), ("cluster_id", pa.int64())]
+        )
+        if batch.num_rows == 0 or "curl" not in batch.column_names:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            batch, sort_keys=[("curl", "ascending"), ("doc_id", "ascending")]
+        )
+        t = batch.take(idx)
+        curls = t["curl"].combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        neq = pc.not_equal(curls.slice(1), curls.slice(0, len(curls) - 1))
+        boundaries = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+        starts = np.concatenate([[0], boundaries])
+        lens = np.diff(np.concatenate([starts, [len(ids)]]))
+        reps = np.repeat(ids[starts], lens)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "curl": curls,
+                "cluster_id": pa.array(reps, pa.int64()),
+            }
+        )
+
+    return parts.map_batches(_assign, batch_format="pyarrow", batch_size=None)
+
+
 def exact_dedup(
     docs: ray.data.Dataset,
     id_col: str = "doc_id",

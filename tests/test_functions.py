@@ -256,3 +256,41 @@ def test_simhash_and_minhash_batched_match_per_doc(hash_lists):
     for i, a in enumerate(arrs):
         assert int(sims[i]) == simhash64(a)
         assert np.array_equal(sigs[i], minhash_signature(a, seeds))
+
+
+def test_canonical_url():
+    from pyjedai_ray.functions.text import canonical_url
+
+    # host lowered, scheme/www/fragment/tracking stripped — path case KEPT
+    assert canonical_url("HTTPS://WWW.Example.COM/CaseSensitive#x") == "example.com/CaseSensitive"
+    assert canonical_url("http://example.com:80/a/") == "example.com/a"
+    assert canonical_url("https://example.com:8080/a") == "example.com:8080/a"
+    # mid-query tracking removal keeps real params in order
+    assert canonical_url("https://e.com/p?a=1&utm_source=x&b=2") == "e.com/p?a=1&b=2"
+    assert canonical_url("https://e.com/p?utm_source=x&utm_campaign=y") == "e.com/p"
+    assert canonical_url("www.foo.com/x/") == "foo.com/x"
+    assert canonical_url("") == ""
+
+
+def test_url_dedup_clusters(ray_session):
+    import ray.data
+
+    from pyjedai_ray.stages.dedup import url_dedup
+
+    urls = [
+        (0, "https://www.shop.com/item/1"),
+        (1, "HTTP://Shop.COM/item/1/"),
+        (2, "https://shop.com/item/1?utm_source=mail"),
+        (3, "https://shop.com/item/2"),
+    ]
+    ds = ray.data.from_items([{"doc_id": i, "url": u} for i, u in urls])
+    got = sorted(
+        (r["doc_id"], r["curl"], r["cluster_id"])
+        for r in url_dedup(ds, num_partitions=4).take_all()
+    )
+    assert got == [
+        (0, "shop.com/item/1", 0),
+        (1, "shop.com/item/1", 0),
+        (2, "shop.com/item/1", 0),
+        (3, "shop.com/item/2", 3),
+    ]
