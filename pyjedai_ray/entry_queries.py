@@ -325,6 +325,32 @@ def q_url_dedup(sf_dir: str):
     return dedup.url_dedup(u)
 
 
+def q_line_dedup(sf_dir: str):
+    """C4-style repeated-line removal over a deterministic 3-line fixture
+    (shared header / per-mod-37 body / shared footer): only the first
+    occurrence of each distinct line survives, reassembled per doc — the
+    boilerplate-strip shape. The Ray side runs the REAL operator (split ->
+    fingerprint exchange -> first-occurrence -> reassemble); the oracle
+    enumerates the same three lines per doc and window-filters."""
+    d = _docs(sf_dir, ["doc_id"])
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [
+            f"shared crawl header\nbody {i % 37}\nshared crawl footer"
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    u = d.map_batches(_mk, batch_format="pyarrow")
+    return dedup.line_dedup(u, reassemble=True)
+
+
 def q_shingle_jaccard_pairs(sf_dir: str):
     """Exact n-gram (5-word-shingle) Jaccard per candidate pair."""
     cands = _shingle_candidates(sf_dir)
@@ -1346,8 +1372,10 @@ def queries():
         "pes_fixture": q_pes_fixture,
         "bilateral_fixture": q_bilateral_fixture,
         # ---- below this line: outside the driver's 50-entry check window --
-        # (oracle-backed but redundant with in-window rows, or rows-only)
+        # (oracle-backed but redundant with in-window rows, or rows-only;
+        # oracle-backed rows here stay validator-provable)
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
+        "line_dedup": q_line_dedup,
         # -- rows-only (hash-based / stateful / seeded / synthetic input) --
         "minhash_dedup_clusters": q_minhash_dedup_clusters,
         "minhash_candidates": q_minhash_candidates,
@@ -1469,6 +1497,25 @@ def oracle_sql():
               FROM u
             )
             SELECT doc_id, curl, min(doc_id) OVER (PARTITION BY curl) AS cluster_id FROM c
+        """,
+        "line_dedup": """
+            WITH l AS (
+              SELECT doc_id, v.ln AS line_no,
+                CASE v.ln
+                  WHEN 1 THEN 'shared crawl header'
+                  WHEN 2 THEN 'body ' || CAST(doc_id % 37 AS VARCHAR)
+                  ELSE 'shared crawl footer'
+                END AS line
+              FROM documents, (VALUES (1), (2), (3)) v(ln)
+            ), kept AS (
+              SELECT doc_id, line_no, line FROM l
+              QUALIFY row_number() OVER (
+                PARTITION BY line ORDER BY doc_id, line_no
+              ) = 1
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_no) AS text
+            FROM kept GROUP BY doc_id
         """,
         "quality_stats": f"""
             WITH {SQL_SEQS}

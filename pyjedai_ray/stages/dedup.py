@@ -32,6 +32,120 @@ def add_fingerprint(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.
     return docs.map_batches(_fp, batch_format="pyarrow")
 
 
+def line_dedup(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    num_partitions: int = 32,
+    reassemble: bool = False,
+    input_rows: int | None = None,
+) -> ray.data.Dataset:
+    """C4/RefinedWeb-style repeated-line removal: split every doc on ``sep``
+    and keep only the FIRST occurrence (min (doc_id, line_no)) of each
+    distinct line across the whole corpus — the standard boilerplate /
+    banner / footer strip for web crawls.
+
+    Returns (doc_id, line_no, line) survivors, or with ``reassemble=True``
+    the surviving lines re-joined per doc as (doc_id, text) — docs whose
+    every line was a repeat are dropped (C4 drops empty docs too).
+
+    Plan: explode lines -> ONE hash exchange keyed on the line's md5
+    fingerprint (lines can be KBs; the key never is) -> per-partition sorted
+    run detection keeps each run's first (doc_id, line_no) -> optional second
+    exchange keyed on doc_id re-joins survivors in line order. Nothing
+    corpus-sized touches the driver."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .exchange import effective_partitions
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        lns: list[int] = []
+        lines: list[str] = []
+        fps: list[str] = []
+        for did, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            for i, line in enumerate((text or "").split(sep), start=1):
+                ids_out.append(did)
+                lns.append(i)
+                lines.append(line)
+                fps.append(hashlib.md5(line.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "line_no": pa.array(lns, pa.int64()),
+                "line": pa.array(lines, pa.string()),
+                "fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    exploded = docs.select_columns([id_col, text_col]).map_batches(
+        _explode, batch_format="pyarrow"
+    )
+    nparts = effective_partitions(num_partitions, rows=input_rows)
+    parts = exploded.repartition(nparts, keys=["fp"])
+
+    survivors_schema = pa.schema(
+        [("doc_id", pa.int64()), ("line_no", pa.int64()), ("line", pa.string())]
+    )
+
+    def _first(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "fp" not in batch.column_names:
+            return survivors_schema.empty_table()
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[
+                ("fp", "ascending"),
+                ("doc_id", "ascending"),
+                ("line_no", "ascending"),
+            ],
+        )
+        t = batch.take(idx)
+        fps = t["fp"].combine_chunks()
+        neq = pc.not_equal(fps.slice(1), fps.slice(0, len(fps) - 1))
+        starts = np.concatenate(
+            [[0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1]
+        )
+        kept = t.take(pa.array(starts, pa.int64()))
+        return kept.select(["doc_id", "line_no", "line"])
+
+    survivors = parts.map_batches(_first, batch_format="pyarrow", batch_size=None)
+    if not reassemble:
+        return survivors
+
+    def _join_lines(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            batch, sort_keys=[("doc_id", "ascending"), ("line_no", "ascending")]
+        )
+        t = batch.take(idx)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lines = t["line"].to_pylist()
+        bounds = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(ids)]])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[starts], pa.int64()),
+                "text": pa.array(
+                    [sep.join(lines[s:e]) for s, e in zip(starts, ends)],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return survivors.repartition(nparts, keys=["doc_id"]).map_batches(
+        _join_lines, batch_format="pyarrow", batch_size=None
+    )
+
+
 def url_dedup(
     docs: ray.data.Dataset,
     id_col: str = "doc_id",

@@ -411,3 +411,33 @@ def test_ejoin_counts_mode_parity():
             )
         assert res["broadcast"] == res["join"], tok
         assert len(res["join"]) > 0, tok
+
+
+def test_line_dedup_boilerplate_strip():
+    """First occurrence of every distinct line survives; docs that lose all
+    lines disappear; reassembly preserves within-doc line order."""
+    import ray.data
+
+    from pyjedai_ray.stages.dedup import line_dedup
+
+    rows = [
+        {"doc_id": 1, "text": "banner\nunique one\nfooter"},
+        {"doc_id": 2, "text": "banner\nunique two\nfooter"},
+        {"doc_id": 3, "text": "banner\nfooter"},  # all lines repeated -> dropped
+    ]
+    ds = ray.data.from_items(rows)
+    surv = sorted(
+        (r["doc_id"], r["line_no"], r["line"])
+        for r in line_dedup(ds, num_partitions=4).take_all()
+    )
+    assert surv == [
+        (1, 1, "banner"),
+        (1, 2, "unique one"),
+        (1, 3, "footer"),
+        (2, 2, "unique two"),
+    ]
+    re = sorted(
+        (r["doc_id"], r["text"])
+        for r in line_dedup(ds, num_partitions=4, reassemble=True).take_all()
+    )
+    assert re == [(1, "banner\nunique one\nfooter"), (2, "unique two")]
