@@ -55,18 +55,37 @@ class MinHashSigner:
         distinct tokens (blake2b loop over uniques, not occurrences), and
         gather per-doc hash slices vectorized. Bit-identical to the per-row
         path (shingle chaining + per-doc distinct-token simhash unchanged)."""
+        import pyarrow.compute as pc
+
         cfg = self.cfg
         ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
         n = len(ids)
-        tok_lists = [token_sequence(t or "") for t in texts]
-        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+        col = pc.fill_null(batch[self.text_col].combine_chunks(), "")
+        if n and pc.all(pc.string_is_ascii(col)).as_py():
+            # Arrow-vectorized token stream (same fast path + ASCII guard as
+            # blocking._explode_standard: RE2's \W is ASCII-only, Python's is
+            # Unicode-aware — non-ASCII batches take the per-doc loop below
+            # for bit-identical token sequences). Document order and
+            # duplicates preserved: list_flatten + stable filter.
+            toks = pc.split_pattern_regex(pc.utf8_lower(col), "[\\W_]+")
+            flat_pa = pc.list_flatten(toks)
+            mask = pc.not_equal(flat_pa, "")
+            par = pc.list_parent_indices(toks).filter(mask)
+            flat_pa = flat_pa.filter(mask)
+            lens = np.bincount(
+                par.to_numpy(zero_copy_only=False).astype(np.int64), minlength=n
+            ).astype(np.int64)
+        else:
+            tok_lists = [token_sequence(t or "") for t in col.to_pylist()]
+            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+            flat_pa = pa.array(
+                [t for toks in tok_lists for t in toks], pa.string()
+            )
         offs = np.concatenate([[0], np.cumsum(lens)])
-        flat = [t for toks in tok_lists for t in toks]
 
         sim_seed = cfg.seed ^ 0x51A4
-        if flat:
-            dic = pa.array(flat, pa.string()).dictionary_encode()
+        if len(flat_pa):
+            dic = flat_pa.dictionary_encode()
             uniq = dic.dictionary.to_pylist()
             indices = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             sh_cache = self._shingle_tok_cache
