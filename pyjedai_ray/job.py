@@ -80,7 +80,13 @@ def main(argv: list[str] | None = None) -> dict:
         max_block_size=args.max_block_size,
         verify_threshold=args.verify_threshold,
     )
-    webpages = ray.data.read_parquet(args.input)
+    # prune at the read: extraction consumes at most (url, html, text, lang);
+    # html — by far the widest column — never leaves storage under --no-html
+    needed = ["url", "text", "lang"] + ([] if args.no_html else ["html"])
+    have = set(ray.data.read_parquet(args.input).schema().names)
+    webpages = ray.data.read_parquet(
+        args.input, columns=[c for c in needed if c in have]
+    )
     res = run_webdedup(
         webpages,
         cfg,
