@@ -146,6 +146,36 @@ def fingerprint_md5(text: str) -> str:
     return hashlib.md5(" ".join(token_sequence(text)).encode("utf-8")).hexdigest()
 
 
+def fingerprint_md5_batch(col) -> list[str]:
+    """Batch fingerprints. ASCII batches tokenize on the Arrow fast path
+    (utf8_lower -> split -> empty-filter -> binary_join; same RE2-vs-Python
+    \\W guard as the signer/exploder — non-ASCII falls back per row for
+    byte-identical tokens); only the md5 itself stays a Python loop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(col, pa.Array):
+        col = col.combine_chunks()
+    col = pc.fill_null(pc.cast(col, pa.string()), "")
+    if len(col) and pc.all(pc.string_is_ascii(col)).as_py():
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), "[\\W_]+")
+        flat = pc.list_flatten(toks)
+        mask = pc.not_equal(flat, "")
+        par = pc.list_parent_indices(toks).filter(mask)
+        flat = flat.filter(mask)
+        lens = np.bincount(
+            par.to_numpy(zero_copy_only=False).astype(np.int64), minlength=len(col)
+        )
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        )
+        joined = pc.binary_join(lists, " ")
+        return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in joined.to_pylist()]
+    return [fingerprint_md5(t or "") for t in col.to_pylist()]
+
+
 def count_tokens(text: str) -> int:
     return len(token_sequence(text))
 

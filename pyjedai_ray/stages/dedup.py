@@ -19,14 +19,14 @@ import pyarrow as pa
 import ray.data
 
 from ..config import DedupConfig
-from ..functions.text import fingerprint_md5
+from ..functions.text import fingerprint_md5_batch
 from . import blocking, clustering, matching, minhash
 from .exchange import hash_join, stamp_schema
 
 
 def add_fingerprint(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     def _fp(batch: pa.Table) -> pa.Table:
-        fps = [fingerprint_md5(t or "") for t in batch[text_col].to_pylist()]
+        fps = fingerprint_md5_batch(batch[text_col])
         return batch.append_column("fingerprint", pa.array(fps, pa.string()))
 
     return docs.map_batches(_fp, batch_format="pyarrow")

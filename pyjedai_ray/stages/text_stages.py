@@ -14,7 +14,7 @@ from ..functions.text import (
     count_bpe_ish_tokens,
     count_tokens,
     detect_lang,
-    fingerprint_md5,
+    fingerprint_md5_batch,
     quality_stats,
 )
 
@@ -64,7 +64,7 @@ def add_token_counts(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.D
 
 def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     def _f(batch: pa.Table) -> pa.Table:
-        fps = [fingerprint_md5(t or "") for t in batch[text_col].to_pylist()]
+        fps = fingerprint_md5_batch(batch[text_col])
         return batch.append_column("fingerprint", pa.array(fps, pa.string()))
 
     return ds.map_batches(_f, batch_format="pyarrow")
