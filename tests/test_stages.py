@@ -441,3 +441,16 @@ def test_line_dedup_boilerplate_strip():
         for r in line_dedup(ds, num_partitions=4, reassemble=True).take_all()
     )
     assert re == [(1, "banner\nunique one\nfooter"), (2, "unique two")]
+
+
+def test_effective_partitions_rows_hint(ray_session):
+    from pyjedai_ray.stages.exchange import ROWS_PER_PARTITION, effective_partitions
+
+    # small inputs floor at 8; the hint never RAISES the request
+    assert effective_partitions(32, rows=1000) == 8
+    assert effective_partitions(4, rows=10 * ROWS_PER_PARTITION) == 4
+    # web-scale rows blow past the cap -> caller's count wins (clamped to ctx)
+    big = effective_partitions(32, rows=10**9)
+    assert big == effective_partitions(32)
+    # no hint -> unchanged behavior
+    assert effective_partitions(8) >= 2
