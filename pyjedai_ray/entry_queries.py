@@ -175,7 +175,8 @@ def _shingle_candidates(sf_dir: str) -> ray.data.Dataset:
         sf_dir,
         "shingle_candidates",
         lambda: blocking.candidate_pairs(
-            _shingle_edges(sf_dir), max_block_size=1 << 30, chain_oversize=False
+            _shingle_edges(sf_dir), max_block_size=1 << 30, chain_oversize=False,
+            input_rows=_shingle_edges(sf_dir).count(),  # memoized -> free
         ),
     )
 
@@ -585,7 +586,8 @@ def q_tfidf_weights(sf_dir: str):
     d = _docs(sf_dir, ["doc_id", "text"])
     edges = blocking.explode_keys(d, keyer="standard").materialize()
     cands = blocking.candidate_pairs(
-        edges, max_block_size=1 << 30, chain_oversize=False
+        edges, max_block_size=1 << 30, chain_oversize=False,
+        input_rows=edges.count(),
     ).select_columns(["id1", "id2"])
     out = matching.verify_pairs_tfidf(cands, d)
     return _round_col(out, "weight", 6)
@@ -646,7 +648,8 @@ def q_minhash_candidates(sf_dir: str):
     cfg = DedupConfig()
     sigs = minhash.sign(d, cfg).materialize()
     return blocking.candidate_pairs(
-        minhash.explode_bands(sigs), max_block_size=cfg.max_block_size
+        minhash.explode_bands(sigs), max_block_size=cfg.max_block_size,
+        input_rows=sigs.count() * cfg.bands,
     )
 
 
@@ -1294,7 +1297,8 @@ def q_tf_boolean_weights(sf_dir: str):
     d = _docs(sf_dir, ["doc_id", "text"])
     edges = blocking.explode_keys(d, keyer="standard").materialize()
     cands = blocking.candidate_pairs(
-        edges, max_block_size=1 << 30, chain_oversize=False
+        edges, max_block_size=1 << 30, chain_oversize=False,
+        input_rows=edges.count(),
     ).select_columns(["id1", "id2"]).materialize()
     out = None
     for scheme in ("tf", "boolean"):
