@@ -1,0 +1,234 @@
+"""Tiered web-corpus dedup cascade — the production training-data shape.
+
+Real web-corpus pipelines (C4, CCNet, RefinedWeb, Dolma, FineWeb) never run
+one dedup pass: they CASCADE tiers from cheapest to most expensive so each
+tier shrinks the corpus the next (pricier) tier must touch:
+
+  url      canonical-URL collapse (re-crawls / mirrors; one narrow exchange
+           over (doc_id, url) — texts never move)
+  exact    byte-identical text collapse (md5-fingerprint exchange — again
+           only (doc_id, fingerprint) moves)
+  lines    repeated-line removal (C4 boilerplate strip: headers, footers,
+           cookie banners; REWRITES surviving docs, drops emptied ones)
+  minhash  MinHash-LSH near-dup clustering (the expensive fuzzy tier, run
+           on whatever survived the cheap tiers)
+
+Tier ORDER is part of the semantics: ``exact`` must precede ``lines``
+(after line-level dedup every surviving line exists in exactly one doc, so
+no two docs can have equal texts — an exact pass after ``lines`` is provably
+a no-op), and ``minhash`` runs last on the smallest corpus.
+
+Each tier ends in survivors-of-the-input-corpus; the wide doc rows are
+filtered via ``exchange.semi_join_ids`` (broadcast id-mask below the
+measured ~1M-doc crossover, distributed semi/anti join above — the wide side
+never shuffles in broadcast mode). With ``out_dir`` every tier checkpoints
+through pipelines/checkpoint.py (per-partition lineage manifests whose
+``row_count`` chain IS the per-tier survivor record); a re-run resumes after
+the last tier whose manifest validates. Capped-path drop totals (the
+minhash tier's hot-band cap) ride the usual state.metrics counter.
+
+Reference analog: pyJedAI chains block building -> cleaning -> matching ->
+clustering inside one workflow object (src/pyjedai/workflow.py); this module
+is the web-scale counterpart where each "stage" is itself a full dedup tier
+over a shrinking corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import pyarrow as pa
+import ray.data
+
+from ..config import DedupConfig
+from ..stages import dedup
+from ..stages.exchange import hash_join, probe_schema, semi_join_ids
+from . import checkpoint as ckpt
+from .webdedup import extract_and_project
+
+TIERS = ("url", "exact", "lines", "minhash")
+
+
+def _tiered_hash(cfg: DedupConfig, tiers: tuple, lang_filter, use_html) -> str:
+    blob = f"{cfg.config_hash()}|{','.join(tiers)}|{lang_filter}|{use_html}"
+    return hashlib.blake2b(blob.encode(), digest_size=8).hexdigest()
+
+
+def run_tiered_dedup(
+    webpages: ray.data.Dataset,
+    cfg: DedupConfig | None = None,
+    tiers: tuple[str, ...] = TIERS,
+    out_dir: str | None = None,
+    resume: bool = True,
+    num_partitions: int = 32,
+    use_html: bool = True,
+    id_col: str | None = None,
+    lang_filter: str | None = None,
+    verify_mode: str = "auto",
+    cluster_mode: str = "auto",
+    signer_batch_size: int = 256,
+    signer_concurrency=None,
+    drop_counter: str | None = None,
+) -> dict:
+    """Run the dedup cascade; returns
+    ``{"docs", "clusters", "tier_stats", "lineage", "drop_metrics"}``.
+
+    ``docs`` is the surviving corpus (doc_id, url, text[, lang]); ``clusters``
+    is the minhash tier's (doc_id, cluster_id) table (None when that tier is
+    disabled, or on a resumed run that skipped it); ``tier_stats`` maps tier
+    name -> {input, kept, removed, sec, resumed}. ``input`` counts and
+    checkpoint manifests make every tier's shrinkage a recorded number —
+    the same no-silent-truncation bar as the drop counters.
+
+    ``id_col``: pass when ``webpages`` is already a doc table with stable int
+    ids (skips HTML extraction; the ``url`` tier then requires a ``url``
+    column to be present too)."""
+    from ..state.metrics import read_drops, reset_drops
+
+    cfg = cfg or DedupConfig()
+    unknown = [t for t in tiers if t not in TIERS]
+    if unknown:
+        raise ValueError(f"unknown tiers {unknown}; pick from {TIERS}")
+    if "exact" in tiers and "lines" in tiers and tiers.index("lines") < tiers.index(
+        "exact"
+    ):
+        raise ValueError(
+            "'exact' must run before 'lines': after line-level dedup no two "
+            "docs can share equal texts, so the exact pass would be a no-op"
+        )
+    ch = _tiered_hash(cfg, tiers, lang_filter, use_html)
+    if drop_counter is None:
+        drop_counter = f"tiered:{ch}"
+    reset_drops(drop_counter)
+
+    def _docs():
+        if id_col is not None:
+            keep = [id_col] + [
+                c for c in ("url", "text", "lang") if c in webpages.columns()
+            ]
+            out = webpages.select_columns(keep)
+            return (
+                out.rename_columns({id_col: "doc_id"}) if id_col != "doc_id" else out
+            )
+        return extract_and_project(webpages, use_html=use_html, lang_filter=lang_filter)
+
+    chain = ""
+    if out_dir:
+        docs, chain = ckpt.load_or_compute(out_dir, "docs", ch, chain, _docs, resume=resume)
+    else:
+        docs = _docs().materialize()
+    if "url" in tiers and "url" not in docs.columns():
+        raise ValueError("the 'url' tier needs a 'url' column in the corpus")
+
+    n_in = docs.count()
+    stats: dict[str, dict] = {}
+    clusters: ray.data.Dataset | None = None
+
+    def _tier_url(docs_in, n):
+        assign = dedup.url_dedup(
+            docs_in, num_partitions=num_partitions, input_rows=n
+        )
+        keep_ids = assign.filter(expr="doc_id == cluster_id").select_columns(["doc_id"])
+        return semi_join_ids(docs_in, keep_ids, num_partitions=num_partitions)
+
+    def _tier_exact(docs_in, n):
+        assign = dedup.exact_dedup(
+            docs_in, num_partitions=num_partitions, input_rows=n
+        )
+        keep_ids = assign.filter(expr="doc_id == cluster_id").select_columns(["doc_id"])
+        return semi_join_ids(docs_in, keep_ids, num_partitions=num_partitions)
+
+    def _tier_lines(docs_in, n):
+        stripped = dedup.line_dedup(
+            docs_in, reassemble=True, num_partitions=num_partitions
+        )
+        narrow, nschema = probe_schema(docs_in.drop_columns(["text"]))
+        if nschema is None or len(nschema.names) <= 1:
+            return stripped  # nothing but the id to reattach
+        return hash_join(
+            stripped,
+            narrow,
+            on=("doc_id",),
+            num_partitions=num_partitions,
+            join_type="inner",
+            left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+            right_schema=nschema,
+        )
+
+    def _tier_minhash(docs_in, n):
+        nonlocal clusters
+        res = dedup.minhash_dedup(
+            docs_in,
+            cfg,
+            num_partitions=num_partitions,
+            signer_batch_size=signer_batch_size,
+            signer_concurrency=signer_concurrency,
+            cluster_mode=cluster_mode,
+            verify_mode=verify_mode,
+            drop_counter=drop_counter,
+        )
+        if out_dir:
+            cl, _ = ckpt.load_or_compute(
+                out_dir, "tier_minhash_clusters", ch, chain,
+                lambda: res["clusters"], resume=resume,
+            )
+        else:
+            cl = res["clusters"].materialize()
+        clusters = cl
+        losers = cl.filter(expr="doc_id != cluster_id").select_columns(["doc_id"])
+        return semi_join_ids(docs_in, losers, keep=False, num_partitions=num_partitions)
+
+    tier_fns = {
+        "url": _tier_url,
+        "exact": _tier_exact,
+        "lines": _tier_lines,
+        "minhash": _tier_minhash,
+    }
+
+    for tier in tiers:
+        t0 = time.perf_counter()
+        stage = f"tier_{tier}"
+        resumed = False
+        if out_dir:
+            resumed = resume and ckpt.manifest_valid(
+                os.path.join(out_dir, stage), ch, chain
+            )
+            docs, chain = ckpt.load_or_compute(
+                out_dir, stage, ch, chain,
+                lambda d=docs, n=n_in, t=tier: tier_fns[t](d, n),
+                resume=resume,
+                metrics_fn=(
+                    (lambda: {"drop_metrics": read_drops(drop_counter)})
+                    if tier == "minhash"
+                    else None
+                ),
+            )
+        else:
+            docs = tier_fns[tier](docs, n_in).materialize()
+        kept = docs.count()
+        stats[tier] = {
+            "input": n_in,
+            "kept": kept,
+            "removed": n_in - kept,
+            "sec": round(time.perf_counter() - t0, 3),
+            "resumed": resumed,
+        }
+        n_in = kept
+
+    if clusters is None and "minhash" in tiers and out_dir:
+        # the minhash tier was resumed from its manifest, so its compute
+        # closure (which assigns ``clusters``) never ran — read the
+        # checkpointed clusters table back instead
+        cl_dir = os.path.join(out_dir, "tier_minhash_clusters")
+        if ckpt.read_manifest(cl_dir) is not None:
+            clusters = ray.data.read_parquet(cl_dir)
+
+    return {
+        "docs": docs,
+        "clusters": clusters,
+        "tier_stats": stats,
+        "lineage": chain,
+        "drop_metrics": lambda: read_drops(drop_counter),
+    }

@@ -165,6 +165,76 @@ def effective_partitions(requested: int, rows: int | None = None) -> int:
     return max(2, min(requested, ctx.default_hash_shuffle_parallelism))
 
 
+def semi_join_ids(
+    left: ray.data.Dataset,
+    ids: ray.data.Dataset,
+    id_col: str = "doc_id",
+    ids_col: str = "doc_id",
+    keep: bool = True,
+    mode: str = "auto",
+    num_partitions: int = 32,
+    left_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Filter ``left`` to rows whose ``id_col`` IS (keep=True) / IS NOT
+    (keep=False) in ``ids`` (a narrow int64-id Dataset; extra columns and
+    duplicate ids are fine — only membership matters).
+
+    mode "broadcast": ids are 8 bytes each — materialize the id side once,
+    build ONE sorted numpy membership array in the object store (remote build
+    task, zero-copy ``ray.get`` per map task), and mask each left batch with
+    vectorized ``searchsorted`` — the WIDE left side never shuffles.
+    mode "join": distributed ``hash_join`` left semi / left anti — the only
+    option when the id set exceeds a worker heap.
+    mode "auto": broadcast at/below matching.BROADCAST_DOC_LIMIT ids (the
+    same measured crossover as the dedup verify stage)."""
+    ensure_context(left)
+    mat = ids.select_columns([ids_col]).materialize()
+    if mode == "auto":
+        from .matching import BROADCAST_DOC_LIMIT
+
+        mode = "broadcast" if mat.count() <= BROADCAST_DOC_LIMIT else "join"
+
+    if mode == "join":
+        return hash_join(
+            left,
+            mat if ids_col == id_col else mat.rename_columns({ids_col: id_col}),
+            on=(id_col,),
+            num_partitions=num_partitions,
+            join_type="left semi" if keep else "left anti",
+            left_schema=left_schema,
+            right_schema=pa.schema([(id_col, pa.int64())]),
+        )
+
+    @ray.remote
+    def _collect_ids(*blocks: pa.Table):
+        parts = [
+            b[ids_col].to_numpy(zero_copy_only=False)
+            for b in blocks
+            if b.num_columns and b.num_rows
+        ]
+        if not parts:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(parts))  # sorted + deduped
+
+    ref = _collect_ids.remote(*mat.to_arrow_refs())
+
+    def _mask(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return batch
+        members = ray.get(ref)  # zero-copy plasma read
+        v = batch[id_col].to_numpy(zero_copy_only=False)
+        if members.size:
+            p = np.searchsorted(members, v)
+            inside = (p < members.size) & (
+                members[np.minimum(p, members.size - 1)] == v
+            )
+        else:
+            inside = np.zeros(len(v), dtype=bool)
+        return batch.filter(pa.array(inside if keep else ~inside))
+
+    return left.map_batches(_mask, batch_format="pyarrow")
+
+
 def _block_schema(materialized: ray.data.Dataset) -> pa.Schema | None:
     """Schema of the first non-empty block. ``Dataset.schema()`` metadata can
     go stale through union+rename chains (blocks carry the renamed columns

@@ -1,0 +1,159 @@
+"""Tiered dedup cascade (pipelines/tiered.py): closed-form per-tier counts,
+semi_join_ids broadcast/join parity, checkpoint resume."""
+
+import pyarrow as pa
+import pytest
+
+from pyjedai_ray.config import DedupConfig
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _corpus():
+    """25 docs with a known removal at every tier.
+
+    - urls: docs pair up (i, i+1) on canonical ``site.com/a/{i//2}`` -> url
+      tier keeps the even ids (12 of 24); doc 24's url is unique.
+    - texts: even survivors pair up on equal text by k//2 -> exact tier keeps
+      ids {0,4,8,12,16,20} plus doc 24's unique boilerplate-only text.
+    - lines: ``shared head``/``shared tail`` survive only in doc 0; doc 24,
+      made ONLY of those two lines, is emptied and dropped.
+    - minhash: contents[4] (doc 16) and contents[5] (doc 20) differ by one
+      trailing word -> near-dup pair, doc 20 removed.
+    """
+    def words(c):
+        # per-class vocabulary: classes share no filler words, so only the
+        # deliberately-crafted pair (contents[4], contents[5]) is a near-dup
+        return " ".join(f"c{c}w{j}" for j in range(60))
+
+    contents = [f"content {c} {words(c)}" for c in range(5)]
+    contents.append(f"content 4 {words(4)} extra")  # near-dup of contents[4]
+    rows = []
+    for i in range(24):
+        k = i // 2
+        url = (
+            f"https://www.site.com/a/{k}"
+            if i % 2 == 0
+            else f"http://site.com/a/{k}/?utm_source=z"
+        )
+        text = f"shared head\n{contents[k // 2]}\nshared tail"
+        rows.append((i, url, text))
+    rows.append((24, "https://unique.example.org/x", "shared head\nshared tail"))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "url": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def _run(out_dir=None, resume=True):
+    import ray.data
+
+    from pyjedai_ray.pipelines.tiered import run_tiered_dedup
+
+    docs = ray.data.from_arrow(_corpus())
+    return run_tiered_dedup(
+        docs,
+        DedupConfig(),
+        id_col="doc_id",
+        num_partitions=4,
+        verify_mode="broadcast",
+        cluster_mode="driver",
+        out_dir=out_dir,
+        resume=resume,
+    )
+
+
+def test_tiered_cascade_closed_form():
+    res = _run()
+    s = res["tier_stats"]
+    assert s["url"] == {
+        "input": 25, "kept": 13, "removed": 12, "sec": s["url"]["sec"], "resumed": False,
+    }
+    assert (s["exact"]["input"], s["exact"]["kept"], s["exact"]["removed"]) == (13, 7, 6)
+    assert (s["lines"]["input"], s["lines"]["kept"], s["lines"]["removed"]) == (7, 6, 1)
+    assert (s["minhash"]["input"], s["minhash"]["kept"], s["minhash"]["removed"]) == (6, 5, 1)
+
+    rows = {r["doc_id"]: r for r in res["docs"].take_all()}
+    assert sorted(rows) == [0, 4, 8, 12, 16]
+    # doc 0 keeps all three lines; doc 4 keeps only its (first-seen) content
+    assert rows[0]["text"].startswith("shared head\ncontent 0 ")
+    assert rows[0]["text"].endswith("\nshared tail")
+    assert rows[4]["text"].startswith("content 1 ") and "\n" not in rows[4]["text"]
+    # url column survived the lines-tier reattach
+    assert rows[16]["url"] == "https://www.site.com/a/8"
+    # minhash clusters recorded the 16<-20 merge
+    cl = {r["doc_id"]: r["cluster_id"] for r in res["clusters"].take_all()}
+    assert cl[16] == 16 and cl[20] == 16
+
+
+def test_tiered_order_guard():
+    import ray.data
+
+    from pyjedai_ray.pipelines.tiered import run_tiered_dedup
+
+    docs = ray.data.from_arrow(_corpus())
+    with pytest.raises(ValueError, match="exact.*before.*lines"):
+        run_tiered_dedup(docs, id_col="doc_id", tiers=("lines", "exact"))
+    with pytest.raises(ValueError, match="unknown tiers"):
+        run_tiered_dedup(docs, id_col="doc_id", tiers=("urls",))
+
+
+def test_tiered_checkpoint_resume(tmp_path):
+    out = str(tmp_path / "tiered")
+    res1 = _run(out_dir=out)
+    ids1 = sorted(r["doc_id"] for r in res1["docs"].take_all())
+    assert ids1 == [0, 4, 8, 12, 16]
+    assert not any(v["resumed"] for v in res1["tier_stats"].values())
+
+    res2 = _run(out_dir=out)
+    ids2 = sorted(r["doc_id"] for r in res2["docs"].take_all())
+    assert ids2 == ids1
+    assert all(v["resumed"] for v in res2["tier_stats"].values())
+    assert res2["lineage"] == res1["lineage"]
+    # clusters reload from the checkpoint even though the tier was skipped
+    cl = {r["doc_id"]: r["cluster_id"] for r in res2["clusters"].take_all()}
+    assert cl[20] == 16
+
+    # manifests chain row counts: each tier's row_count is the next's input
+    from pyjedai_ray.pipelines import checkpoint as ckpt
+
+    counts = [
+        ckpt.read_manifest(f"{out}/tier_{t}")["row_count"]
+        for t in ("url", "exact", "lines", "minhash")
+    ]
+    assert counts == [13, 7, 6, 5]
+
+
+def test_semi_join_ids_modes():
+    import ray.data
+
+    from pyjedai_ray.stages.exchange import semi_join_ids
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "val": pa.array([f"v{i}" for i in range(20)], pa.string()),
+            }
+        )
+    )
+    ids = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([3, 5, 5, 11, 40], pa.int64())})
+    )
+    for mode in ("broadcast", "join"):
+        kept = sorted(
+            r["doc_id"] for r in semi_join_ids(left, ids, mode=mode, num_partitions=4).take_all()
+        )
+        assert kept == [3, 5, 11], mode
+        anti = sorted(
+            r["doc_id"]
+            for r in semi_join_ids(left, ids, keep=False, mode=mode, num_partitions=4).take_all()
+        )
+        assert anti == [i for i in range(20) if i not in (3, 5, 11)], mode
+    # empty id side: semi keeps nothing, anti keeps everything
+    empty = ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    assert semi_join_ids(left, empty, mode="broadcast").count() == 0
+    assert semi_join_ids(left, empty, keep=False, mode="broadcast").count() == 20
