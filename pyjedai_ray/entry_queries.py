@@ -352,6 +352,64 @@ def q_line_dedup(sf_dir: str):
     return dedup.line_dedup(u, reassemble=True)
 
 
+def q_tiered_fixture(sf_dir: str):
+    """SQL-provable slice of the tiered dedup cascade (pipelines/tiered.py):
+    tiers url -> exact -> lines over a deterministic corpus where every tier
+    removes a known set — two URL surface variants per page (url tier keeps
+    the even ids), texts equal in (doc_id // 4) % 61 classes (exact tier
+    keeps one per class), and a shared header/footer around a per-class body
+    line (lines tier strips the boilerplate everywhere but the first doc).
+    The minhash tier is hash-seeded and therefore rows-only (q_tiered_dedup);
+    these three tiers compose exactly in SQL, so the cascade semantics short
+    of LSH are value-proven."""
+    from .pipelines.tiered import run_tiered_dedup
+
+    d = _docs(sf_dir, ["doc_id"])
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls, texts = [], []
+        for i in ids:
+            k = i // 2
+            if i % 2 == 0:
+                urls.append(f"https://www.tfix.com/p/{k}")
+            else:
+                urls.append(f"HTTP://TFix.COM/p/{k}/?utm_source=x")
+            texts.append(f"tier head\nbody {(i // 4) % 61}\ntier tail")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    u = d.map_batches(_mk, batch_format="pyarrow")
+    res = run_tiered_dedup(
+        u, tiers=("url", "exact", "lines"), id_col="doc_id", num_partitions=8
+    )
+    return res["docs"].select_columns(["doc_id", "text"])
+
+
+def q_tiered_dedup(sf_dir: str):
+    """Full tiered cascade including the MinHash tier over the synthesized
+    webpages corpus (rows-only: LSH band keys are hash-seeded; per-tier
+    closed-form counts are pytest-asserted in tests/test_tiered.py)."""
+    from .pipelines.tiered import run_tiered_dedup
+    from .sources.webpages import synthesize_webpages
+
+    wp = synthesize_webpages(sf_dir).materialize()
+    res = run_tiered_dedup(
+        wp,
+        DedupConfig(),
+        id_col="doc_id",
+        num_partitions=8,
+        verify_mode="broadcast",
+        cluster_mode="driver",
+    )
+    return res["docs"].select_columns(["doc_id", "url"])
+
+
 def q_shingle_jaccard_pairs(sf_dir: str):
     """Exact n-gram (5-word-shingle) Jaccard per candidate pair."""
     cands = _shingle_candidates(sf_dir)
@@ -1380,7 +1438,9 @@ def queries():
         # oracle-backed rows here stay validator-provable)
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "line_dedup": q_line_dedup,
+        "tiered_fixture": q_tiered_fixture,
         # -- rows-only (hash-based / stateful / seeded / synthetic input) --
+        "tiered_dedup": q_tiered_dedup,
         "minhash_dedup_clusters": q_minhash_dedup_clusters,
         "minhash_candidates": q_minhash_candidates,
         "simhash_clusters": q_simhash_clusters,
@@ -1501,6 +1561,53 @@ def oracle_sql():
               FROM u
             )
             SELECT doc_id, curl, min(doc_id) OVER (PARTITION BY curl) AS cluster_id FROM c
+        """,
+        "tiered_fixture": r"""
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0
+                  THEN 'https://www.tfix.com/p/' || CAST(doc_id // 2 AS VARCHAR)
+                  ELSE 'HTTP://TFix.COM/p/' || CAST(doc_id // 2 AS VARCHAR) || '/?utm_source=x'
+                END AS url,
+                'tier head' || chr(10) || 'body ' || CAST((doc_id // 4) % 61 AS VARCHAR)
+                  || chr(10) || 'tier tail' AS text
+              FROM documents
+            ), c AS (
+              SELECT doc_id, text,
+                rtrim(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+                          '^www\.', ''),
+                        '#.*$', ''),
+                      '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                    '[?&]+$', ''),
+                  '/') AS curl
+              FROM u
+            ), url_kept AS (
+              SELECT doc_id, text FROM c
+              QUALIFY doc_id = min(doc_id) OVER (PARTITION BY curl)
+            ), exact_kept AS (
+              SELECT doc_id FROM url_kept
+              QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+            ), l AS (
+              SELECT e.doc_id, v.ln AS line_no,
+                CASE v.ln
+                  WHEN 1 THEN 'tier head'
+                  WHEN 2 THEN 'body ' || CAST((e.doc_id // 4) % 61 AS VARCHAR)
+                  ELSE 'tier tail'
+                END AS line
+              FROM exact_kept e, (VALUES (1), (2), (3)) v(ln)
+            ), kept AS (
+              SELECT doc_id, line_no, line FROM l
+              QUALIFY row_number() OVER (
+                PARTITION BY line ORDER BY doc_id, line_no
+              ) = 1
+            )
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+            FROM kept GROUP BY doc_id
         """,
         "line_dedup": """
             WITH l AS (
