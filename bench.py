@@ -111,6 +111,20 @@ def run_query_suite(num_cpus: int) -> dict:
     joins.ejoin(sample, threshold=0.82, num_partitions=NUM_CPUS).count()
     out["ejoin_500"] = round(time.time() - t0, 3)
 
+    # tiered cascade (url -> exact -> lines -> minhash) over the synthesized
+    # web corpus: the production training-data shape; each tier materializes
+    # and counts internally, so the wall time covers the full cascade
+    from pyjedai_ray.pipelines.tiered import run_tiered_dedup
+    from pyjedai_ray.sources.webpages import synthesize_webpages
+
+    wp = synthesize_webpages(SF_DIR).materialize()
+    t0 = time.time()
+    run_tiered_dedup(
+        wp, cfg, id_col="doc_id", num_partitions=NUM_CPUS,
+        verify_mode="auto", cluster_mode="driver",
+    )
+    out["tiered_cascade"] = round(time.time() - t0, 3)
+
     emb = read_embeddings(SF_DIR).materialize()
     head = sorted(emb.filter(expr="vec_id < 10").take_all(), key=lambda r: r["vec_id"])
     qids = np.array([r["vec_id"] for r in head], dtype=np.int64)

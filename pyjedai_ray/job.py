@@ -34,6 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="input Parquet path/dir")
     p.add_argument("--out", required=True, help="checkpoint + output directory")
     p.add_argument("--lang", default=None, help="restrict to one language code")
+    p.add_argument(
+        "--tiers",
+        default=None,
+        help="run the tiered dedup CASCADE instead of the single MinHash "
+        "pass: comma-separated tier names in execution order, e.g. "
+        "'url,exact,lines,minhash' (pipelines/tiered.py; 'exact' must "
+        "precede 'lines')",
+    )
     p.add_argument("--no-resume", action="store_true",
                    help="recompute every stage even if manifests validate")
     p.add_argument("--no-html", action="store_true",
@@ -87,6 +95,37 @@ def main(argv: list[str] | None = None) -> dict:
     webpages = ray.data.read_parquet(
         args.input, columns=[c for c in needed if c in have]
     )
+    if args.tiers:
+        from .pipelines.tiered import run_tiered_dedup
+
+        res = run_tiered_dedup(
+            webpages,
+            cfg,
+            tiers=tuple(t.strip() for t in args.tiers.split(",") if t.strip()),
+            out_dir=args.out,
+            resume=not args.no_resume,
+            num_partitions=args.num_partitions,
+            signer_batch_size=args.signer_batch_size,
+            verify_mode=args.verify_mode,
+            cluster_mode=args.cluster_mode,
+            use_html=not args.no_html,
+            lang_filter=args.lang,
+        )
+        summary = {
+            "metric": "tiered_dedup_job",
+            "out": args.out,
+            "config_hash": cfg.config_hash(),
+            "lineage": res["lineage"],
+            "tier_stats": res["tier_stats"],
+            "n_docs": res["docs"].count(),
+            "n_clustered": (
+                res["clusters"].count() if res["clusters"] is not None else None
+            ),
+            "drop_metrics": res["drop_metrics"](),
+        }
+        print(json.dumps(summary))
+        return summary
+
     res = run_webdedup(
         webpages,
         cfg,

@@ -39,6 +39,41 @@ def test_job_cli_end_to_end_and_resume(tmp_path, capsys, ray_session):
     assert again["n_clustered"] == summary["n_clustered"]
 
 
+def test_job_cli_tiered_cascade(tmp_path, capsys, ray_session):
+    from pyjedai_ray.job import main
+
+    inp = str(tmp_path / "webpages")
+    out = str(tmp_path / "tiered")
+    synthesize_webpages = __import__(
+        "pyjedai_ray.sources.webpages", fromlist=["synthesize_webpages"]
+    ).synthesize_webpages
+    synthesize_webpages("/root/testdata/sf0.001").drop_columns(
+        ["doc_id", "gt_cluster"]
+    ).write_parquet(inp)
+
+    summary = main([
+        "--input", inp, "--out", out, "--num-partitions", "4",
+        "--tiers", "url,exact,lines,minhash",
+        "--cluster-mode", "driver", "--verify-mode", "broadcast",
+    ])
+    assert summary["metric"] == "tiered_dedup_job"
+    s = summary["tier_stats"]
+    assert list(s) == ["url", "exact", "lines", "minhash"]
+    # the synthesized corpus carries exact + near dups: both tiers must fire
+    assert s["exact"]["removed"] > 0 and s["minhash"]["removed"] > 0
+    assert summary["n_docs"] == s["minhash"]["kept"]
+    assert summary["n_clustered"] > 0
+
+    # resubmission resumes every tier from its manifest
+    again = main([
+        "--input", inp, "--out", out, "--num-partitions", "4",
+        "--tiers", "url,exact,lines,minhash",
+        "--cluster-mode", "driver", "--verify-mode", "broadcast",
+    ])
+    assert again["n_docs"] == summary["n_docs"]
+    assert all(v["resumed"] for v in again["tier_stats"].values())
+
+
 def test_job_cli_config_knobs(tmp_path, ray_session):
     from pyjedai_ray.job import build_parser
 
