@@ -44,7 +44,12 @@ import ray.data
 
 from ..config import DedupConfig
 from ..stages import dedup
-from ..stages.exchange import hash_join, probe_schema, semi_join_ids
+from ..stages.exchange import (
+    effective_partitions,
+    hash_join,
+    probe_schema,
+    semi_join_ids,
+)
 from . import checkpoint as ckpt
 from .webdedup import extract_and_project
 
@@ -141,8 +146,13 @@ def run_tiered_dedup(
         return semi_join_ids(docs_in, keep_ids, num_partitions=num_partitions)
 
     def _tier_lines(docs_in, n):
+        # rows hint for the line-fingerprint exchange: lines-per-doc is
+        # unknown before the explode; 16x docs is a generous web-page
+        # estimate that right-sizes small corpora while web-scale inputs
+        # blow past the caller's partition count either way
         stripped = dedup.line_dedup(
-            docs_in, reassemble=True, num_partitions=num_partitions
+            docs_in, reassemble=True, num_partitions=num_partitions,
+            input_rows=n * 16 if n is not None else None,
         )
         narrow, nschema = probe_schema(docs_in.drop_columns(["text"]))
         if nschema is None or len(nschema.names) <= 1:
@@ -151,7 +161,7 @@ def run_tiered_dedup(
             stripped,
             narrow,
             on=("doc_id",),
-            num_partitions=num_partitions,
+            num_partitions=effective_partitions(num_partitions, rows=n),
             join_type="inner",
             left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
             right_schema=nschema,
