@@ -165,6 +165,15 @@ def effective_partitions(requested: int, rows: int | None = None) -> int:
     return max(2, min(requested, ctx.default_hash_shuffle_parallelism))
 
 
+# broadcast crossover for pure-int64 id sets: 32M ids = a 256 MB sorted
+# array, zero-copy-readable from the object store by every map task. This is
+# deliberately far above matching.BROADCAST_DOC_LIMIT (tuned for per-doc
+# SIGNATURE payloads, ~100x wider): below it, a semi/anti join by id costs a
+# vectorized searchsorted mask and the wide side never shuffles; above it,
+# the id set itself is corpus-sized and only a distributed join scales.
+SEMI_JOIN_BROADCAST_IDS = 32_000_000
+
+
 def semi_join_ids(
     left: ray.data.Dataset,
     ids: ray.data.Dataset,
@@ -174,6 +183,7 @@ def semi_join_ids(
     mode: str = "auto",
     num_partitions: int = 32,
     left_schema: pa.Schema | None = None,
+    broadcast_limit: int = SEMI_JOIN_BROADCAST_IDS,
 ) -> ray.data.Dataset:
     """Filter ``left`` to rows whose ``id_col`` IS (keep=True) / IS NOT
     (keep=False) in ``ids`` (a narrow int64-id Dataset; extra columns and
@@ -184,15 +194,15 @@ def semi_join_ids(
     task, zero-copy ``ray.get`` per map task), and mask each left batch with
     vectorized ``searchsorted`` — the WIDE left side never shuffles.
     mode "join": distributed ``hash_join`` left semi / left anti — the only
-    option when the id set exceeds a worker heap.
-    mode "auto": broadcast at/below matching.BROADCAST_DOC_LIMIT ids (the
-    same measured crossover as the dedup verify stage)."""
+    option when the id set exceeds ``broadcast_limit``.
+    mode "auto": broadcast at/below ``broadcast_limit`` ids (measured on the
+    tiered cascade @2.56M docs: join-mode exact/lines tiers cost 90/77 s
+    because the WIDE text rows shuffled; broadcast masks avoid that
+    entirely)."""
     ensure_context(left)
     mat = ids.select_columns([ids_col]).materialize()
     if mode == "auto":
-        from .matching import BROADCAST_DOC_LIMIT
-
-        mode = "broadcast" if mat.count() <= BROADCAST_DOC_LIMIT else "join"
+        mode = "broadcast" if mat.count() <= broadcast_limit else "join"
 
     if mode == "join":
         return hash_join(

@@ -157,3 +157,12 @@ def test_semi_join_ids_modes():
     empty = ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
     assert semi_join_ids(left, empty, mode="broadcast").count() == 0
     assert semi_join_ids(left, empty, keep=False, mode="broadcast").count() == 20
+    # auto mode respects the id-count crossover: broadcast_limit=1 forces the
+    # distributed join path; results are identical either way
+    forced = sorted(
+        r["doc_id"]
+        for r in semi_join_ids(
+            left, ids, mode="auto", broadcast_limit=1, num_partitions=4
+        ).take_all()
+    )
+    assert forced == [3, 5, 11]
