@@ -39,8 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="run the tiered dedup CASCADE instead of the single MinHash "
         "pass: comma-separated tier names in execution order, e.g. "
-        "'url,exact,lines,minhash' (pipelines/tiered.py; 'exact' must "
-        "precede 'lines')",
+        "'quality,url,exact,lines,minhash' (pipelines/tiered.py; 'exact' "
+        "must precede 'lines')",
+    )
+    p.add_argument(
+        "--quality-threshold", type=float, default=0.5,
+        help="minimum heuristic quality score for the opt-in 'quality' tier",
     )
     p.add_argument("--no-resume", action="store_true",
                    help="recompute every stage even if manifests validate")
@@ -110,6 +114,7 @@ def main(argv: list[str] | None = None) -> dict:
             cluster_mode=args.cluster_mode,
             use_html=not args.no_html,
             lang_filter=args.lang,
+            quality_threshold=args.quality_threshold,
         )
         summary = {
             "metric": "tiered_dedup_job",

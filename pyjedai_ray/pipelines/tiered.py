@@ -54,10 +54,20 @@ from . import checkpoint as ckpt
 from .webdedup import extract_and_project
 
 TIERS = ("url", "exact", "lines", "minhash")
+# "quality" is opt-in (C4 filters low-quality docs BEFORE dedup; pass
+# tiers=("quality",) + TIERS): heuristic [0,1] score from length / punct /
+# stopword ratios (functions/text.quality_stats), embarrassingly parallel —
+# no shuffle at all
+ALL_TIERS = ("quality",) + TIERS
 
 
-def _tiered_hash(cfg: DedupConfig, tiers: tuple, lang_filter, use_html) -> str:
-    blob = f"{cfg.config_hash()}|{','.join(tiers)}|{lang_filter}|{use_html}"
+def _tiered_hash(
+    cfg: DedupConfig, tiers: tuple, lang_filter, use_html, quality_threshold
+) -> str:
+    blob = (
+        f"{cfg.config_hash()}|{','.join(tiers)}|{lang_filter}|{use_html}"
+        + (f"|q={quality_threshold!r}" if "quality" in tiers else "")
+    )
     return hashlib.blake2b(blob.encode(), digest_size=8).hexdigest()
 
 
@@ -76,6 +86,7 @@ def run_tiered_dedup(
     signer_batch_size: int = 256,
     signer_concurrency=None,
     drop_counter: str | None = None,
+    quality_threshold: float = 0.5,
 ) -> dict:
     """Run the dedup cascade; returns
     ``{"docs", "clusters", "tier_stats", "lineage", "drop_metrics"}``.
@@ -93,9 +104,9 @@ def run_tiered_dedup(
     from ..state.metrics import read_drops, reset_drops
 
     cfg = cfg or DedupConfig()
-    unknown = [t for t in tiers if t not in TIERS]
+    unknown = [t for t in tiers if t not in ALL_TIERS]
     if unknown:
-        raise ValueError(f"unknown tiers {unknown}; pick from {TIERS}")
+        raise ValueError(f"unknown tiers {unknown}; pick from {ALL_TIERS}")
     if "exact" in tiers and "lines" in tiers and tiers.index("lines") < tiers.index(
         "exact"
     ):
@@ -103,7 +114,7 @@ def run_tiered_dedup(
             "'exact' must run before 'lines': after line-level dedup no two "
             "docs can share equal texts, so the exact pass would be a no-op"
         )
-    ch = _tiered_hash(cfg, tiers, lang_filter, use_html)
+    ch = _tiered_hash(cfg, tiers, lang_filter, use_html, quality_threshold)
     if drop_counter is None:
         drop_counter = f"tiered:{ch}"
     reset_drops(drop_counter)
@@ -130,6 +141,19 @@ def run_tiered_dedup(
     n_in = docs.count()
     stats: dict[str, dict] = {}
     clusters: ray.data.Dataset | None = None
+
+    def _tier_quality(docs_in, n):
+        from ..stages.text_stages import add_quality
+
+        kept = add_quality(docs_in).filter(
+            expr=f"quality_score >= {quality_threshold!r}"
+        )
+        # drop the stat columns so every downstream tier sees the same doc
+        # schema whether or not this tier ran
+        return kept.drop_columns(
+            ["n_tokens", "mean_token_len", "punct_ratio", "stopword_ratio",
+             "quality_score"]
+        )
 
     def _tier_url(docs_in, n):
         assign = dedup.url_dedup(
@@ -191,6 +215,7 @@ def run_tiered_dedup(
         return semi_join_ids(docs_in, losers, keep=False, num_partitions=num_partitions)
 
     tier_fns = {
+        "quality": _tier_quality,
         "url": _tier_url,
         "exact": _tier_exact,
         "lines": _tier_lines,

@@ -89,6 +89,32 @@ def test_tiered_cascade_closed_form():
     assert cl[16] == 16 and cl[20] == 16
 
 
+def test_tiered_quality_tier():
+    """Opt-in quality tier: doc 24 (4 tokens, score 0.5) falls to the quality
+    filter instead of the lines tier; everything downstream is unchanged."""
+    import ray.data
+
+    from pyjedai_ray.pipelines.tiered import TIERS, run_tiered_dedup
+
+    docs = ray.data.from_arrow(_corpus())
+    res = run_tiered_dedup(
+        docs,
+        DedupConfig(),
+        tiers=("quality",) + TIERS,
+        quality_threshold=0.6,
+        id_col="doc_id",
+        num_partitions=4,
+        verify_mode="broadcast",
+        cluster_mode="driver",
+    )
+    s = res["tier_stats"]
+    assert (s["quality"]["input"], s["quality"]["kept"]) == (25, 24)
+    assert s["lines"]["removed"] == 0  # doc 24 already gone
+    assert sorted(r["doc_id"] for r in res["docs"].take_all()) == [0, 4, 8, 12, 16]
+    # stat columns were dropped: downstream schema matches the default run
+    assert sorted(res["docs"].schema().names) == ["doc_id", "text", "url"]
+
+
 def test_tiered_order_guard():
     import ray.data
 
