@@ -153,6 +153,60 @@ def test_tiered_checkpoint_resume(tmp_path):
     assert counts == [13, 7, 6, 5]
 
 
+def test_tiered_recall_on_injected_dups():
+    """The cascade must remove every injected high-similarity duplicate
+    (leaving one representative per ground-truth group) and must NOT remove
+    sub-threshold distractors."""
+    import collections
+
+    import ray.data  # noqa: F401
+
+    from pyjedai_ray.functions.tokenize import word_shingles
+    from pyjedai_ray.pipelines.tiered import run_tiered_dedup
+    from pyjedai_ray.sources.webpages import DUP_ID_OFFSET, synthesize_webpages
+
+    wp = synthesize_webpages("/root/testdata/sf0.001").materialize()
+    res = run_tiered_dedup(
+        wp, DedupConfig(), id_col="doc_id", verify_mode="broadcast",
+        cluster_mode="driver", num_partitions=4,
+    )
+    survivors = {r["doc_id"] for r in res["docs"].take_all()}
+
+    gt = collections.defaultdict(set)
+    for r in wp.select_columns(["doc_id", "gt_cluster"]).take_all():
+        gt[r["gt_cluster"]].add(r["doc_id"])
+    texts = {
+        r["doc_id"]: r["text"] for r in wp.select_columns(["doc_id", "text"]).take_all()
+    }
+
+    def jac(a: int, b: int) -> float:
+        sa, sb = set(word_shingles(texts[a], 5)), set(word_shingles(texts[b], 5))
+        if not sa and not sb:
+            return 1.0
+        return len(sa & sb) / len(sa | sb)
+
+    n_checked, both_alive = 0, []
+    for base, members in gt.items():
+        if len(members) < 2:
+            continue
+        a, b = sorted(members)[:2]
+        if jac(a, b) >= 0.9:
+            n_checked += 1
+            if a in survivors and b in survivors:
+                both_alive.append((a, b))
+    assert n_checked >= 25, "fixture lost its high-similarity dup pairs"
+    assert not both_alive, f"dup pairs survived the cascade: {both_alive[:5]}"
+
+    # sub-threshold distractors must survive alongside their base
+    eaten = []
+    for base in gt:
+        if base % 20 == 4 and base < DUP_ID_OFFSET:
+            distractor = base + DUP_ID_OFFSET
+            if base in survivors and distractor in texts and distractor not in survivors:
+                eaten.append(base)
+    assert not eaten, f"distractors wrongly removed: {eaten[:5]}"
+
+
 def test_semi_join_ids_modes():
     import ray.data
 
