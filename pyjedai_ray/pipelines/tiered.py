@@ -89,14 +89,18 @@ def run_tiered_dedup(
     quality_threshold: float = 0.5,
 ) -> dict:
     """Run the dedup cascade; returns
-    ``{"docs", "clusters", "tier_stats", "lineage", "drop_metrics"}``.
+    ``{"docs", "clusters", "tier_stats", "removals", "lineage",
+    "drop_metrics"}``.
 
     ``docs`` is the surviving corpus (doc_id, url, text[, lang]); ``clusters``
     is the minhash tier's (doc_id, cluster_id) table (None when that tier is
-    disabled, or on a resumed run that skipped it); ``tier_stats`` maps tier
-    name -> {input, kept, removed, sec, resumed}. ``input`` counts and
-    checkpoint manifests make every tier's shrinkage a recorded number —
-    the same no-silent-truncation bar as the drop counters.
+    disabled); ``tier_stats`` maps tier name -> {input, kept, removed, sec,
+    resumed}; ``removals`` maps tier name -> a (doc_id, cluster_id)
+    provenance table of the docs that tier removed — cluster_id is the
+    surviving representative for the dedup tiers (checkpointed, so resumed
+    runs reload it) and null for quality/lines removals (no representative).
+    ``input`` counts and checkpoint manifests make every tier's shrinkage a
+    recorded number — the same no-silent-truncation bar as the drop counters.
 
     ``id_col``: pass when ``webpages`` is already a doc table with stable int
     ids (skips HTML extraction; the ``url`` tier then requires a ``url``
@@ -141,6 +145,23 @@ def run_tiered_dedup(
     n_in = docs.count()
     stats: dict[str, dict] = {}
     clusters: ray.data.Dataset | None = None
+    # per-tier removal PROVENANCE: (doc_id, cluster_id) where cluster_id is
+    # the surviving representative the doc deduplicated into, or null when
+    # the tier removes without a representative (quality-filtered / emptied
+    # by the lines tier). Production dedup needs this mapping — train/holdout
+    # splits and contamination checks trace removed docs to their keepers.
+    # The dedup tiers' mappings are CHECKPOINTED (tier_{t}_assign /
+    # tier_minhash_clusters) so a resumed run reloads them.
+    removals: dict[str, ray.data.Dataset | None] = {}
+
+    def _ckpt_narrow(stage: str, build, input_chain: str):
+        """Materialize (and, with out_dir, checkpoint) a narrow side table."""
+        if out_dir:
+            ds_, _ = ckpt.load_or_compute(
+                out_dir, stage, ch, input_chain, build, resume=resume
+            )
+            return ds_
+        return build().materialize()
 
     def _tier_quality(docs_in, n):
         from ..stages.text_stages import add_quality
@@ -156,16 +177,26 @@ def run_tiered_dedup(
         )
 
     def _tier_url(docs_in, n):
-        assign = dedup.url_dedup(
-            docs_in, num_partitions=num_partitions, input_rows=n
+        assign = _ckpt_narrow(
+            "tier_url_assign",
+            lambda: dedup.url_dedup(
+                docs_in, num_partitions=num_partitions, input_rows=n
+            ).select_columns(["doc_id", "cluster_id"]),
+            chain,
         )
+        removals["url"] = assign.filter(expr="doc_id != cluster_id")
         keep_ids = assign.filter(expr="doc_id == cluster_id").select_columns(["doc_id"])
         return semi_join_ids(docs_in, keep_ids, num_partitions=num_partitions)
 
     def _tier_exact(docs_in, n):
-        assign = dedup.exact_dedup(
-            docs_in, num_partitions=num_partitions, input_rows=n
+        assign = _ckpt_narrow(
+            "tier_exact_assign",
+            lambda: dedup.exact_dedup(
+                docs_in, num_partitions=num_partitions, input_rows=n
+            ),
+            chain,
         )
+        removals["exact"] = assign.filter(expr="doc_id != cluster_id")
         keep_ids = assign.filter(expr="doc_id == cluster_id").select_columns(["doc_id"])
         return semi_join_ids(docs_in, keep_ids, num_partitions=num_partitions)
 
@@ -203,14 +234,9 @@ def run_tiered_dedup(
             verify_mode=verify_mode,
             drop_counter=drop_counter,
         )
-        if out_dir:
-            cl, _ = ckpt.load_or_compute(
-                out_dir, "tier_minhash_clusters", ch, chain,
-                lambda: res["clusters"], resume=resume,
-            )
-        else:
-            cl = res["clusters"].materialize()
+        cl = _ckpt_narrow("tier_minhash_clusters", lambda: res["clusters"], chain)
         clusters = cl
+        removals["minhash"] = cl.filter(expr="doc_id != cluster_id")
         losers = cl.filter(expr="doc_id != cluster_id").select_columns(["doc_id"])
         return semi_join_ids(docs_in, losers, keep=False, num_partitions=num_partitions)
 
@@ -226,6 +252,7 @@ def run_tiered_dedup(
         t0 = time.perf_counter()
         stage = f"tier_{tier}"
         resumed = False
+        prev_docs = docs
         if out_dir:
             resumed = resume and ckpt.manifest_valid(
                 os.path.join(out_dir, stage), ch, chain
@@ -242,6 +269,35 @@ def run_tiered_dedup(
             )
         else:
             docs = tier_fns[tier](docs, n_in).materialize()
+        if tier in ("quality", "lines"):
+            # no surviving representative for these removals: provenance is
+            # the id diff, cluster_id = null
+            rem_ids = semi_join_ids(
+                prev_docs.select_columns(["doc_id"]),
+                docs.select_columns(["doc_id"]),
+                keep=False,
+                num_partitions=num_partitions,
+            )
+            removals[tier] = rem_ids.map_batches(
+                lambda b: b.append_column(
+                    "cluster_id", pa.nulls(b.num_rows, pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+        elif resumed and tier in ("url", "exact", "minhash"):
+            # the tier's compute closure (which records the mapping) was
+            # skipped — reload the checkpointed assign/clusters table
+            map_dir = os.path.join(
+                out_dir,
+                "tier_minhash_clusters" if tier == "minhash" else f"tier_{tier}_assign",
+            )
+            if ckpt.read_manifest(map_dir) is not None:
+                m = ray.data.read_parquet(map_dir)
+                removals[tier] = m.filter(expr="doc_id != cluster_id")
+                if tier == "minhash":
+                    clusters = m
+            else:
+                removals[tier] = None
         kept = docs.count()
         stats[tier] = {
             "input": n_in,
@@ -252,18 +308,11 @@ def run_tiered_dedup(
         }
         n_in = kept
 
-    if clusters is None and "minhash" in tiers and out_dir:
-        # the minhash tier was resumed from its manifest, so its compute
-        # closure (which assigns ``clusters``) never ran — read the
-        # checkpointed clusters table back instead
-        cl_dir = os.path.join(out_dir, "tier_minhash_clusters")
-        if ckpt.read_manifest(cl_dir) is not None:
-            clusters = ray.data.read_parquet(cl_dir)
-
     return {
         "docs": docs,
         "clusters": clusters,
         "tier_stats": stats,
+        "removals": removals,
         "lineage": chain,
         "drop_metrics": lambda: read_drops(drop_counter),
     }

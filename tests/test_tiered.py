@@ -88,6 +88,18 @@ def test_tiered_cascade_closed_form():
     cl = {r["doc_id"]: r["cluster_id"] for r in res["clusters"].take_all()}
     assert cl[16] == 16 and cl[20] == 16
 
+    # removal provenance: every removed doc maps to its surviving
+    # representative (dedup tiers) or null (lines tier)
+    rem = res["removals"]
+    url_map = {r["doc_id"]: r["cluster_id"] for r in rem["url"].take_all()}
+    assert len(url_map) == 12 and url_map[1] == 0 and url_map[23] == 22
+    exact_map = {r["doc_id"]: r["cluster_id"] for r in rem["exact"].take_all()}
+    assert exact_map == {2: 0, 6: 4, 10: 8, 14: 12, 18: 16, 22: 20}
+    lines_map = {r["doc_id"]: r["cluster_id"] for r in rem["lines"].take_all()}
+    assert lines_map == {24: None}
+    mh_map = {r["doc_id"]: r["cluster_id"] for r in rem["minhash"].take_all()}
+    assert mh_map == {20: 16}
+
 
 def test_tiered_quality_tier():
     """Opt-in quality tier: doc 24 (4 tokens, score 0.5) falls to the quality
@@ -142,6 +154,14 @@ def test_tiered_checkpoint_resume(tmp_path):
     # clusters reload from the checkpoint even though the tier was skipped
     cl = {r["doc_id"]: r["cluster_id"] for r in res2["clusters"].take_all()}
     assert cl[20] == 16
+    # removal provenance survives resume: dedup-tier mappings reload from
+    # their checkpointed assign/clusters tables, diff tiers recompute
+    rem2 = res2["removals"]
+    assert {r["doc_id"]: r["cluster_id"] for r in rem2["exact"].take_all()} == {
+        2: 0, 6: 4, 10: 8, 14: 12, 18: 16, 22: 20
+    }
+    assert {r["doc_id"]: r["cluster_id"] for r in rem2["minhash"].take_all()} == {20: 16}
+    assert {r["doc_id"]: r["cluster_id"] for r in rem2["lines"].take_all()} == {24: None}
 
     # manifests chain row counts: each tier's row_count is the next's input
     from pyjedai_ray.pipelines import checkpoint as ckpt
