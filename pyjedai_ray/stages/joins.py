@@ -160,16 +160,24 @@ def _with_similarity(
     (doc_id -> ntok) numpy lookup in the object store (``ray.put`` once via a
     remote build task, zero-copy ``ray.get`` per map task) and resolve n1/n2
     with vectorized ``searchsorted`` — no shuffle, no barrier.
-    "auto" — broadcast below matching.BROADCAST_DOC_LIMIT docs, else join
-    (same crossover as the dedup verify stage)."""
+    "auto" — broadcast at/below exchange.SEMI_JOIN_BROADCAST_IDS // 2 docs
+    (16 bytes per doc; the verify stage's 1M crossover is for ~100x wider
+    signature payloads), else join."""
     from .exchange import barrier
 
     if counts_mode == "auto":
-        from .matching import BROADCAST_DOC_LIMIT
+        # (doc_id, ntok) is 16 bytes/doc — like exchange.semi_join_ids's
+        # pure-id sets, it broadcasts far beyond the 1M-doc SIGNATURE
+        # crossover (measured there: join-mode fallback shuffled the wide
+        # side at 2.56M docs for a 90s -> 19s regression). Half the id-only
+        # limit for the doubled payload.
+        from .exchange import SEMI_JOIN_BROADCAST_IDS
 
         counts = counts.materialize()
         counts_mode = (
-            "broadcast" if counts.count() <= BROADCAST_DOC_LIMIT else "join"
+            "broadcast"
+            if counts.count() <= SEMI_JOIN_BROADCAST_IDS // 2
+            else "join"
         )
 
     if counts_mode == "broadcast":
