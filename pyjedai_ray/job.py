@@ -46,6 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--quality-threshold", type=float, default=0.5,
         help="minimum heuristic quality score for the opt-in 'quality' tier",
     )
+    p.add_argument(
+        "--embeddings", default=None,
+        help="Parquet path of (doc_id, embedding) vectors for the opt-in "
+        "'semantic' tier (ids must match the corpus doc ids)",
+    )
+    p.add_argument(
+        "--semantic-threshold", type=float, default=0.95,
+        help="cosine threshold for the 'semantic' near-dup tier",
+    )
     p.add_argument("--no-resume", action="store_true",
                    help="recompute every stage even if manifests validate")
     p.add_argument("--no-html", action="store_true",
@@ -115,6 +124,10 @@ def main(argv: list[str] | None = None) -> dict:
             use_html=not args.no_html,
             lang_filter=args.lang,
             quality_threshold=args.quality_threshold,
+            embeddings=(
+                ray.data.read_parquet(args.embeddings) if args.embeddings else None
+            ),
+            semantic_threshold=args.semantic_threshold,
         )
         summary = {
             "metric": "tiered_dedup_job",

@@ -54,19 +54,31 @@ from . import checkpoint as ckpt
 from .webdedup import extract_and_project
 
 TIERS = ("url", "exact", "lines", "minhash")
-# "quality" is opt-in (C4 filters low-quality docs BEFORE dedup; pass
-# tiers=("quality",) + TIERS): heuristic [0,1] score from length / punct /
-# stopword ratios (functions/text.quality_stats), embarrassingly parallel —
-# no shuffle at all
-ALL_TIERS = ("quality",) + TIERS
+# Opt-in tiers:
+# "quality" (C4 filters low-quality docs BEFORE dedup; pass
+#   tiers=("quality",) + TIERS): heuristic [0,1] score from length / punct /
+#   stopword ratios (functions/text.quality_stats), embarrassingly parallel —
+#   no shuffle at all.
+# "semantic" (embedding-cosine near-dup, run LAST on the smallest corpus;
+#   pass tiers=TIERS + ("semantic",) plus an ``embeddings`` Dataset):
+#   hyperplane-LSH band keys -> capped candidates -> exact cosine verify
+#   (stages/ann.lsh_neardup, no trained quantizer) -> connected components ->
+#   losers removed. Catches paraphrase-level duplicates MinHash can't.
+ALL_TIERS = ("quality",) + TIERS + ("semantic",)
 
 
 def _tiered_hash(
-    cfg: DedupConfig, tiers: tuple, lang_filter, use_html, quality_threshold
+    cfg: DedupConfig,
+    tiers: tuple,
+    lang_filter,
+    use_html,
+    quality_threshold,
+    semantic_threshold,
 ) -> str:
     blob = (
         f"{cfg.config_hash()}|{','.join(tiers)}|{lang_filter}|{use_html}"
         + (f"|q={quality_threshold!r}" if "quality" in tiers else "")
+        + (f"|s={semantic_threshold!r}" if "semantic" in tiers else "")
     )
     return hashlib.blake2b(blob.encode(), digest_size=8).hexdigest()
 
@@ -87,6 +99,10 @@ def run_tiered_dedup(
     signer_concurrency=None,
     drop_counter: str | None = None,
     quality_threshold: float = 0.5,
+    embeddings: ray.data.Dataset | None = None,
+    embedding_dim: int | None = None,
+    semantic_threshold: float = 0.95,
+    emb_vec_col: str = "embedding",
 ) -> dict:
     """Run the dedup cascade; returns
     ``{"docs", "clusters", "tier_stats", "removals", "lineage",
@@ -118,7 +134,14 @@ def run_tiered_dedup(
             "'exact' must run before 'lines': after line-level dedup no two "
             "docs can share equal texts, so the exact pass would be a no-op"
         )
-    ch = _tiered_hash(cfg, tiers, lang_filter, use_html, quality_threshold)
+    if "semantic" in tiers and embeddings is None:
+        raise ValueError(
+            "the 'semantic' tier needs an ``embeddings`` Dataset "
+            "(doc_id, embedding) aligned with the corpus doc ids"
+        )
+    ch = _tiered_hash(
+        cfg, tiers, lang_filter, use_html, quality_threshold, semantic_threshold
+    )
     if drop_counter is None:
         drop_counter = f"tiered:{ch}"
     reset_drops(drop_counter)
@@ -240,12 +263,48 @@ def run_tiered_dedup(
         losers = cl.filter(expr="doc_id != cluster_id").select_columns(["doc_id"])
         return semi_join_ids(docs_in, losers, keep=False, num_partitions=num_partitions)
 
+    def _tier_semantic(docs_in, n):
+        from ..stages import ann, clustering
+
+        # restrict the embedding table to the docs still alive, then LSH
+        # near-dup (no trained quantizer) -> exact cosine verify -> CC
+        emb = semi_join_ids(
+            embeddings,
+            docs_in.select_columns(["doc_id"]),
+            id_col="doc_id",
+            num_partitions=num_partitions,
+        )
+        dim = embedding_dim
+        if dim is None:
+            first = emb.take(1)
+            if not first:
+                return docs_in  # nothing to compare
+            dim = len(first[0][emb_vec_col])
+        pairs = ann.lsh_neardup(
+            emb,
+            dim=dim,
+            threshold=semantic_threshold,
+            id_col="doc_id",
+            vec_col=emb_vec_col,
+            num_partitions=num_partitions,
+            drop_counter=drop_counter,
+        )
+        cl = _ckpt_narrow(
+            "tier_semantic_clusters",
+            lambda: clustering.connected_components(pairs, mode=cluster_mode),
+            chain,
+        )
+        removals["semantic"] = cl.filter(expr="doc_id != cluster_id")
+        losers = cl.filter(expr="doc_id != cluster_id").select_columns(["doc_id"])
+        return semi_join_ids(docs_in, losers, keep=False, num_partitions=num_partitions)
+
     tier_fns = {
         "quality": _tier_quality,
         "url": _tier_url,
         "exact": _tier_exact,
         "lines": _tier_lines,
         "minhash": _tier_minhash,
+        "semantic": _tier_semantic,
     }
 
     for tier in tiers:
@@ -284,12 +343,15 @@ def run_tiered_dedup(
                 ),
                 batch_format="pyarrow",
             )
-        elif resumed and tier in ("url", "exact", "minhash"):
+        elif resumed and tier in ("url", "exact", "minhash", "semantic"):
             # the tier's compute closure (which records the mapping) was
             # skipped — reload the checkpointed assign/clusters table
             map_dir = os.path.join(
                 out_dir,
-                "tier_minhash_clusters" if tier == "minhash" else f"tier_{tier}_assign",
+                {
+                    "minhash": "tier_minhash_clusters",
+                    "semantic": "tier_semantic_clusters",
+                }.get(tier, f"tier_{tier}_assign"),
             )
             if ckpt.read_manifest(map_dir) is not None:
                 m = ray.data.read_parquet(map_dir)

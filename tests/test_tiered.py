@@ -127,6 +127,51 @@ def test_tiered_quality_tier():
     assert sorted(res["docs"].schema().names) == ["doc_id", "text", "url"]
 
 
+def test_tiered_semantic_tier():
+    """Embedding near-dup tier runs LAST: doc 12's vector duplicates doc 8's
+    direction, so after the text tiers keep {0,4,8,12,16} the semantic tier
+    removes 12 with representative 8."""
+    import numpy as np
+    import ray.data
+
+    from pyjedai_ray.pipelines.tiered import TIERS, run_tiered_dedup
+
+    docs = ray.data.from_arrow(_corpus())
+    dim = 8
+    basis = {0: 2, 4: 3, 8: 1, 12: 1, 16: 4}  # 12 shares 8's axis
+    vecs = []
+    for i in range(25):
+        v = np.zeros(dim)
+        v[basis.get(i, (i % 3) + 5)] = 1.0
+        vecs.append(v.tolist())
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(25), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+    )
+    res = run_tiered_dedup(
+        docs,
+        DedupConfig(),
+        tiers=TIERS + ("semantic",),
+        embeddings=emb,
+        id_col="doc_id",
+        num_partitions=4,
+        verify_mode="broadcast",
+        cluster_mode="driver",
+    )
+    assert sorted(r["doc_id"] for r in res["docs"].take_all()) == [0, 4, 8, 16]
+    s = res["tier_stats"]["semantic"]
+    assert (s["input"], s["kept"], s["removed"]) == (5, 4, 1)
+    sem = {r["doc_id"]: r["cluster_id"] for r in res["removals"]["semantic"].take_all()}
+    assert sem == {12: 8}
+    # missing embeddings for a semantic run is a hard error
+    with pytest.raises(ValueError, match="semantic.*embeddings"):
+        run_tiered_dedup(docs, id_col="doc_id", tiers=("semantic",))
+
+
 def test_tiered_order_guard():
     import ray.data
 
