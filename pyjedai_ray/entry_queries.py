@@ -391,6 +391,35 @@ def q_tiered_fixture(sf_dir: str):
     return res["docs"].select_columns(["doc_id", "text"])
 
 
+def q_tiered_semantic(sf_dir: str):
+    """Full cascade plus the embedding semantic tier (rows-only: both the
+    MinHash and hyperplane-LSH band keys are hash-seeded). Embeddings ride
+    the driver's embeddings table, vec_id-aligned with documents.doc_id;
+    synthesized dup docs have no vectors and simply skip the semantic
+    comparison."""
+    from .pipelines.tiered import TIERS, run_tiered_dedup
+    from .sources.readers import read_embeddings
+    from .sources.webpages import synthesize_webpages
+
+    wp = synthesize_webpages(sf_dir).materialize()
+    emb = (
+        read_embeddings(sf_dir)
+        .select_columns(["vec_id", "embedding"])
+        .rename_columns({"vec_id": "doc_id"})
+    )
+    res = run_tiered_dedup(
+        wp,
+        DedupConfig(),
+        tiers=TIERS + ("semantic",),
+        embeddings=emb,
+        id_col="doc_id",
+        num_partitions=8,
+        verify_mode="broadcast",
+        cluster_mode="driver",
+    )
+    return res["docs"].select_columns(["doc_id", "url"])
+
+
 def q_tiered_dedup(sf_dir: str):
     """Full tiered cascade including the MinHash tier over the synthesized
     webpages corpus (rows-only: LSH band keys are hash-seeded; per-tier
@@ -1441,6 +1470,7 @@ def queries():
         "tiered_fixture": q_tiered_fixture,
         # -- rows-only (hash-based / stateful / seeded / synthetic input) --
         "tiered_dedup": q_tiered_dedup,
+        "tiered_semantic": q_tiered_semantic,
         "minhash_dedup_clusters": q_minhash_dedup_clusters,
         "minhash_candidates": q_minhash_candidates,
         "simhash_clusters": q_simhash_clusters,
