@@ -158,6 +158,13 @@ def _memo(sf_dir: str, name: str, build):
     return _MEMO[key]
 
 
+def _webpages(sf_dir: str) -> ray.data.Dataset:
+    """Synthesized webpages corpus, shared by every dedup-pipeline query."""
+    from .sources.webpages import synthesize_webpages
+
+    return _memo(sf_dir, "webpages_synth", lambda: synthesize_webpages(sf_dir))
+
+
 def _shingle_edges(sf_dir: str) -> ray.data.Dataset:
     return _memo(
         sf_dir,
@@ -399,9 +406,7 @@ def q_tiered_semantic(sf_dir: str):
     comparison."""
     from .pipelines.tiered import TIERS, run_tiered_dedup
     from .sources.readers import read_embeddings
-    from .sources.webpages import synthesize_webpages
-
-    wp = synthesize_webpages(sf_dir).materialize()
+    wp = _webpages(sf_dir)
     emb = (
         read_embeddings(sf_dir)
         .select_columns(["vec_id", "embedding"])
@@ -425,9 +430,7 @@ def q_tiered_dedup(sf_dir: str):
     webpages corpus (rows-only: LSH band keys are hash-seeded; per-tier
     closed-form counts are pytest-asserted in tests/test_tiered.py)."""
     from .pipelines.tiered import run_tiered_dedup
-    from .sources.webpages import synthesize_webpages
-
-    wp = synthesize_webpages(sf_dir).materialize()
+    wp = _webpages(sf_dir)
     res = run_tiered_dedup(
         wp,
         DedupConfig(),
@@ -741,17 +744,13 @@ def q_minhash_candidates(sf_dir: str):
 
 
 def q_minhash_dedup_clusters(sf_dir: str):
-    from .sources.webpages import synthesize_webpages
-
-    wp = synthesize_webpages(sf_dir).materialize()
+    wp = _webpages(sf_dir)
     res = dedup.minhash_dedup(wp, DedupConfig(), cluster_mode="driver", verify_mode="broadcast")
     return res["clusters"]
 
 
 def q_simhash_clusters(sf_dir: str):
-    from .sources.webpages import synthesize_webpages
-
-    wp = synthesize_webpages(sf_dir).materialize()
+    wp = _webpages(sf_dir)
     res = dedup.simhash_dedup(wp, DedupConfig(), cluster_mode="driver", verify_mode="broadcast")
     return res["clusters"]
 
@@ -925,10 +924,9 @@ def q_extended_qgram_blocking(sf_dir: str):
 
 
 def q_substring_dedup(sf_dir: str):
-    from .sources.webpages import synthesize_webpages
     from .stages.dedup import substring_overlap_dedup
 
-    wp = synthesize_webpages(sf_dir).materialize()
+    wp = _webpages(sf_dir)
     res = substring_overlap_dedup(wp)
     return res["clusters"]
 
