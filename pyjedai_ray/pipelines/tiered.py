@@ -19,9 +19,9 @@ no two docs can have equal texts — an exact pass after ``lines`` is provably
 a no-op), and ``minhash`` runs last on the smallest corpus.
 
 Each tier ends in survivors-of-the-input-corpus; the wide doc rows are
-filtered via ``exchange.semi_join_ids`` (broadcast id-mask below the
-measured ~1M-doc crossover, distributed semi/anti join above — the wide side
-never shuffles in broadcast mode). With ``out_dir`` every tier checkpoints
+filtered via ``exchange.semi_join_ids`` (broadcast sorted-id mask up to
+``SEMI_JOIN_BROADCAST_IDS`` = 32M ids, distributed semi/anti join above —
+the wide side never shuffles in broadcast mode). With ``out_dir`` every tier checkpoints
 through pipelines/checkpoint.py (per-partition lineage manifests whose
 ``row_count`` chain IS the per-tier survivor record); a re-run resumes after
 the last tier whose manifest validates. Capped-path drop totals (the
