@@ -272,6 +272,44 @@ def test_tiered_recall_on_injected_dups():
     assert not eaten, f"distractors wrongly removed: {eaten[:5]}"
 
 
+def test_tiered_degenerate_corpora():
+    """Empty corpus and single-doc corpus flow through every tier."""
+    import ray.data
+
+    from pyjedai_ray.pipelines.tiered import run_tiered_dedup
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "url": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    res = run_tiered_dedup(
+        empty, DedupConfig(), id_col="doc_id", num_partitions=2,
+        verify_mode="broadcast", cluster_mode="driver",
+    )
+    assert res["docs"].count() == 0
+    assert all(v["removed"] == 0 for v in res["tier_stats"].values())
+
+    one = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "url": pa.array(["https://x.example/only"], pa.string()),
+                "text": pa.array(["just one lonely document here"], pa.string()),
+            }
+        )
+    )
+    res1 = run_tiered_dedup(
+        one, DedupConfig(), id_col="doc_id", num_partitions=2,
+        verify_mode="broadcast", cluster_mode="driver",
+    )
+    assert [r["doc_id"] for r in res1["docs"].take_all()] == [7]
+
+
 def test_semi_join_ids_modes():
     import ray.data
 
