@@ -20,6 +20,22 @@ __version__ = "0.1.0"
 from .config import DedupConfig  # noqa: F401
 
 
+def run_webdedup(*args, **kwargs):
+    """Flagship single-pass MinHash-LSH web dedup (lazy re-export of
+    pipelines.webdedup.run_webdedup)."""
+    from .pipelines.webdedup import run_webdedup as _f
+
+    return _f(*args, **kwargs)
+
+
+def run_tiered_dedup(*args, **kwargs):
+    """Production tiered dedup cascade (lazy re-export of
+    pipelines.tiered.run_tiered_dedup)."""
+    from .pipelines.tiered import run_tiered_dedup as _f
+
+    return _f(*args, **kwargs)
+
+
 def _set_default_context() -> None:
     # Datasets capture the DataContext at creation; switch the process to the
     # hash-shuffle backend up front so every plan built after importing this
