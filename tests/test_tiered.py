@@ -272,6 +272,51 @@ def test_tiered_recall_on_injected_dups():
     assert not eaten, f"distractors wrongly removed: {eaten[:5]}"
 
 
+def test_semi_join_modes_property():
+    """Broadcast mask and distributed semi/anti join agree on random id
+    multisets (duplicates on both sides included)."""
+    import ray.data
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyjedai_ray.stages.exchange import semi_join_ids
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(st.integers(0, 50), max_size=25),
+        st.lists(st.integers(0, 50), max_size=12),
+    )
+    def _check(left_ids, member_ids):
+        left = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(left_ids, pa.int64())})
+        )
+        ids = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(member_ids, pa.int64())})
+        )
+        members = set(member_ids)
+        want_semi = sorted(i for i in left_ids if i in members)
+        want_anti = sorted(i for i in left_ids if i not in members)
+        for mode in ("broadcast", "join"):
+            got_semi = sorted(
+                r["doc_id"]
+                for r in semi_join_ids(left, ids, mode=mode, num_partitions=2).take_all()
+            )
+            got_anti = sorted(
+                r["doc_id"]
+                for r in semi_join_ids(
+                    left, ids, keep=False, mode=mode, num_partitions=2
+                ).take_all()
+            )
+            assert got_semi == want_semi, (mode, left_ids, member_ids)
+            assert got_anti == want_anti, (mode, left_ids, member_ids)
+
+    _check()
+
+
 def test_tiered_degenerate_corpora():
     """Empty corpus and single-doc corpus flow through every tier."""
     import ray.data
