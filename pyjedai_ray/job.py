@@ -111,10 +111,16 @@ def main(argv: list[str] | None = None) -> dict:
     if args.tiers:
         from .pipelines.tiered import run_tiered_dedup
 
+        tiers = tuple(t.strip() for t in args.tiers.split(",") if t.strip())
+        if not tiers:
+            raise SystemExit(
+                f"--tiers {args.tiers!r} parsed to zero tiers — a typo here "
+                "must not silently produce an un-deduplicated corpus"
+            )
         res = run_tiered_dedup(
             webpages,
             cfg,
-            tiers=tuple(t.strip() for t in args.tiers.split(",") if t.strip()),
+            tiers=tiers,
             out_dir=args.out,
             resume=not args.no_resume,
             num_partitions=args.num_partitions,

@@ -103,6 +103,7 @@ def run_tiered_dedup(
     embedding_dim: int | None = None,
     semantic_threshold: float = 0.95,
     emb_vec_col: str = "embedding",
+    track_removals: bool = True,
 ) -> dict:
     """Run the dedup cascade; returns
     ``{"docs", "clusters", "tier_stats", "removals", "lineage",
@@ -112,9 +113,14 @@ def run_tiered_dedup(
     is the minhash tier's (doc_id, cluster_id) table (None when that tier is
     disabled); ``tier_stats`` maps tier name -> {input, kept, removed, sec,
     resumed}; ``removals`` maps tier name -> a (doc_id, cluster_id)
-    provenance table of the docs that tier removed — cluster_id is the
-    surviving representative for the dedup tiers (checkpointed, so resumed
-    runs reload it) and null for quality/lines removals (no representative).
+    provenance table of the docs that tier removed — cluster_id is the doc's
+    representative AT REMOVAL TIME for the dedup tiers (checkpointed, so
+    resumed runs reload it) and null for quality/lines removals (no
+    representative). A representative can itself be removed by a LATER tier
+    (exact maps 22 -> 20, then minhash removes 20): tracing a removed doc to
+    a doc in the final corpus means following the chain across the tiers'
+    tables in order. ``track_removals=False`` skips the quality/lines id
+    diffs (one extra narrow pass each) when only docs/tier_stats are needed.
     ``input`` counts and checkpoint manifests make every tier's shrinkage a
     recorded number — the same no-silent-truncation bar as the drop counters.
 
@@ -260,7 +266,7 @@ def run_tiered_dedup(
         cl = _ckpt_narrow("tier_minhash_clusters", lambda: res["clusters"], chain)
         clusters = cl
         removals["minhash"] = cl.filter(expr="doc_id != cluster_id")
-        losers = cl.filter(expr="doc_id != cluster_id").select_columns(["doc_id"])
+        losers = removals["minhash"].select_columns(["doc_id"])
         return semi_join_ids(docs_in, losers, keep=False, num_partitions=num_partitions)
 
     def _tier_semantic(docs_in, n):
@@ -295,7 +301,7 @@ def run_tiered_dedup(
             chain,
         )
         removals["semantic"] = cl.filter(expr="doc_id != cluster_id")
-        losers = cl.filter(expr="doc_id != cluster_id").select_columns(["doc_id"])
+        losers = removals["semantic"].select_columns(["doc_id"])
         return semi_join_ids(docs_in, losers, keep=False, num_partitions=num_partitions)
 
     tier_fns = {
@@ -312,9 +318,11 @@ def run_tiered_dedup(
         stage = f"tier_{tier}"
         resumed = False
         prev_docs = docs
+        chain_before = chain  # the assign/clusters side tables are stamped
+        # with the PRE-tier chain; validate against it, not the advanced one
         if out_dir:
             resumed = resume and ckpt.manifest_valid(
-                os.path.join(out_dir, stage), ch, chain
+                os.path.join(out_dir, stage), ch, chain_before
             )
             docs, chain = ckpt.load_or_compute(
                 out_dir, stage, ch, chain,
@@ -322,13 +330,13 @@ def run_tiered_dedup(
                 resume=resume,
                 metrics_fn=(
                     (lambda: {"drop_metrics": read_drops(drop_counter)})
-                    if tier == "minhash"
+                    if tier in ("minhash", "semantic")
                     else None
                 ),
             )
         else:
             docs = tier_fns[tier](docs, n_in).materialize()
-        if tier in ("quality", "lines"):
+        if tier in ("quality", "lines") and track_removals:
             # no surviving representative for these removals: provenance is
             # the id diff, cluster_id = null
             rem_ids = semi_join_ids(
@@ -353,7 +361,10 @@ def run_tiered_dedup(
                     "semantic": "tier_semantic_clusters",
                 }.get(tier, f"tier_{tier}_assign"),
             )
-            if ckpt.read_manifest(map_dir) is not None:
+            # full manifest validation (config hash + input chain + file
+            # sizes), not mere existence: a stale table from a different-
+            # config run must not be silently returned as provenance
+            if ckpt.manifest_valid(map_dir, ch, chain_before):
                 m = ray.data.read_parquet(map_dir)
                 removals[tier] = m.filter(expr="doc_id != cluster_id")
                 if tier == "minhash":

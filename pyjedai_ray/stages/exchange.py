@@ -229,8 +229,15 @@ def semi_join_ids(
     ref = _collect_ids.remote(*mat.to_arrow_refs())
 
     def _mask(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or id_col not in batch.column_names:
-            return batch
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return batch  # schema-less empty shuffle blocks only
+        if id_col not in batch.column_names:
+            # a silent pass-through here would turn a miskeyed semi/anti
+            # join into a keep-everything no-op — fail loudly instead
+            raise KeyError(
+                f"semi_join_ids: column {id_col!r} missing from left batch "
+                f"(has {batch.column_names})"
+            )
         members = ray.get(ref)  # zero-copy plasma read
         v = batch[id_col].to_numpy(zero_copy_only=False)
         if members.size:
@@ -366,6 +373,19 @@ def hash_join(
             # cast is cheap metadata when types already match)
             lt = lt.cast(lschema)
             rt = rt.cast(rschema)
+        if join_type in ("left semi", "left anti") and len(on) == 1:
+            # membership joins never read payload columns, but Acero rejects
+            # the join outright when the LEFT side carries non-primitive
+            # payloads (e.g. list<double> embeddings) — mask by key instead.
+            # Keys are non-null by construction (int64 ids / hashes).
+            lv = lt[on[0]].to_numpy(zero_copy_only=False)
+            rv = np.unique(rt[on[0]].to_numpy(zero_copy_only=False))
+            if rv.size and lv.size:
+                p = np.searchsorted(rv, lv)
+                inside = (p < rv.size) & (rv[np.minimum(p, rv.size - 1)] == lv)
+            else:
+                inside = np.zeros(len(lv), dtype=bool)
+            return lt.filter(pa.array(inside if join_type == "left semi" else ~inside))
         return lt.join(rt, keys=on, right_keys=on, join_type=join_type)
 
     return parts.map_batches(

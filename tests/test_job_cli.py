@@ -81,3 +81,16 @@ def test_job_cli_config_knobs(tmp_path, ray_session):
         ["--input", "x", "--out", "y", "--bands", "8", "--rows", "16", "--lang", "en"]
     )
     assert (a.bands, a.rows, a.lang) == (8, 16, "en")
+
+
+def test_job_cli_empty_tiers_rejected(tmp_path, ray_session):
+    """A --tiers value that parses to zero tiers must error, not silently
+    emit an un-deduplicated corpus as a completed cascade."""
+    import ray.data
+
+    from pyjedai_ray.job import main
+
+    inp = str(tmp_path / "in")
+    ray.data.range(1).write_parquet(inp)  # never reached past the guard
+    with pytest.raises(SystemExit, match="zero tiers"):
+        main(["--input", inp, "--out", str(tmp_path / "out"), "--tiers", " , "])

@@ -394,3 +394,30 @@ def test_semi_join_ids_modes():
         ).take_all()
     )
     assert forced == [3, 5, 11]
+
+    # join mode must survive non-primitive payload columns (Acero rejects
+    # list<double> non-key fields; the semi/anti path masks by key instead) —
+    # this is the semantic tier's >32M-id fallback regime
+    emb_left = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "embedding": pa.array(
+                    [[float(i), 1.0] for i in range(6)], pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+    emb_ids = ray.data.from_arrow(pa.table({"doc_id": pa.array([1, 4], pa.int64())}))
+    got = sorted(
+        r["doc_id"]
+        for r in semi_join_ids(emb_left, emb_ids, mode="join", num_partitions=2).take_all()
+    )
+    assert got == [1, 4]
+
+    # a miskeyed left side must raise, not silently keep everything
+    import pytest as _pytest
+
+    bad = ray.data.from_arrow(pa.table({"vec_id": pa.array([1, 2], pa.int64())}))
+    with _pytest.raises(Exception, match="doc_id"):
+        semi_join_ids(bad, ids, mode="broadcast").take_all()
