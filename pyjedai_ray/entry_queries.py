@@ -1267,6 +1267,27 @@ def q_clusterer_fixtures(sf_dir: str):
     )
 
 
+def q_greedy_fixtures(sf_dir: str):
+    """The three serial-greedy clusterers on the shared greedy-4 fixture
+    (unique-mapping 1-1 matching, degree-normalized center choice,
+    merge-center transitive merge) consolidated into one
+    (clusterer, doc_id, cluster_id) result — same pattern as
+    clusterer_fixtures; frees driver-window slots for the tiered-cascade
+    value proofs. unique_mapping emits matched PAIRS (id1, id2); they ride
+    the shared schema as doc_id/cluster_id."""
+    um = q_unique_mapping_fixture(sf_dir).rename_columns(
+        {"id1": "doc_id", "id2": "cluster_id"}
+    )
+    return _tag_union(
+        (
+            ("unique_mapping", um),
+            ("center", q_center_fixture(sf_dir)),
+            ("merge_center", q_merge_center_fixture(sf_dir)),
+        ),
+        col="clusterer",
+    )
+
+
 def q_edit_similarity(sf_dir: str):
     """Edit-distance metrics (matching.py:20-28 Levenshtein/Jaro) as a
     value-exact query: per consecutive doc pair, normalized Levenshtein
@@ -1452,20 +1473,24 @@ def queries():
         "extended_qgram_blocking": q_extended_qgram_blocking,
         "kiraly_clusters": q_kiraly_clusters,
         "best_match_pairs": q_best_match_pairs,
-        "unique_mapping_fixture": q_unique_mapping_fixture,
-        "center_fixture": q_center_fixture,
-        "merge_center_fixture": q_merge_center_fixture,
+        "greedy_fixtures": q_greedy_fixtures,
         "clusterer_fixtures": q_clusterer_fixtures,
         "global_psnm_fixture": q_global_psnm_fixture,
         "local_psnm_fixture": q_local_psnm_fixture,
         "pes_fixture": q_pes_fixture,
         "bilateral_fixture": q_bilateral_fixture,
+        # r5: the flagship cascade's value proofs promoted into the window
+        # (VERDICT r4 #1); slots freed by consolidating the three greedy
+        # clusterer fixtures into greedy_fixtures above
+        "line_dedup": q_line_dedup,
+        "tiered_fixture": q_tiered_fixture,
         # ---- below this line: outside the driver's 50-entry check window --
         # (oracle-backed but redundant with in-window rows, or rows-only;
         # oracle-backed rows here stay validator-provable)
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
-        "line_dedup": q_line_dedup,
-        "tiered_fixture": q_tiered_fixture,
+        "unique_mapping_fixture": q_unique_mapping_fixture,
+        "center_fixture": q_center_fixture,
+        "merge_center_fixture": q_merge_center_fixture,
         # -- rows-only (hash-based / stateful / seeded / synthetic input) --
         "tiered_dedup": q_tiered_dedup,
         "tiered_semantic": q_tiered_semantic,
@@ -2269,6 +2294,17 @@ def oracle_sql():
     d["clusterer_fixtures"] = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS clusterer, doc_id, cluster_id FROM ({d[name + '_fixture']})"
         for name in ("markov", "cut", "correlation", "ricochet", "row_column")
+    )
+    # consolidated greedy-clusterer row (unique_mapping's matched PAIRS ride
+    # the shared doc_id/cluster_id schema): same UNION-of-closed-forms shape
+    d["greedy_fixtures"] = "\nUNION ALL\n".join(
+        [
+            "SELECT 'unique_mapping' AS clusterer, id1 AS doc_id, "
+            f"id2 AS cluster_id FROM ({d['unique_mapping_fixture']})",
+            f"SELECT 'center' AS clusterer, doc_id, cluster_id FROM ({d['center_fixture']})",
+            "SELECT 'merge_center' AS clusterer, doc_id, cluster_id "
+            f"FROM ({d['merge_center_fixture']})",
+        ]
     )
 
     # two-run PSN fixture (see _psnm_fixture_edges): within-run pairs at

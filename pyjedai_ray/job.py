@@ -134,6 +134,10 @@ def main(argv: list[str] | None = None) -> dict:
                 ray.data.read_parquet(args.embeddings) if args.embeddings else None
             ),
             semantic_threshold=args.semantic_threshold,
+            # fold the embeddings file identity into the cascade's config
+            # hash: a resubmit against a different embeddings file must
+            # invalidate the semantic tier's checkpoints
+            source_id=args.embeddings,
         )
         summary = {
             "metric": "tiered_dedup_job",

@@ -41,8 +41,13 @@ def write_stage(
 ) -> dict:
     """Write a stage's output as Parquet + manifest; returns the manifest."""
     os.makedirs(stage_dir, exist_ok=True)
-    for f in os.listdir(stage_dir):  # clear stale partials
-        os.remove(os.path.join(stage_dir, f))
+    # clear stale partials — but ONLY files this module writes (*.parquet +
+    # the manifest). A stray subdirectory or user file parked in the stage
+    # dir must not be deleted (and a blind os.remove on a directory raises
+    # IsADirectoryError mid-write, after the old manifest is invalidated).
+    for f in os.listdir(stage_dir):
+        if f == MANIFEST or f.endswith(".parquet"):
+            os.remove(os.path.join(stage_dir, f))
     ds.write_parquet(stage_dir)
     partitions = []
     total = 0
@@ -76,6 +81,19 @@ def write_stage(
     with open(_manifest_path(stage_dir), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def read_stage(stage_dir: str) -> ray.data.Dataset:
+    """Read a checkpointed stage back as a Dataset — EXACTLY the manifest's
+    partition files, not a directory glob. Stray entries a user parked in the
+    stage dir (notes, subdirectories) are ignored on read just as write_stage
+    leaves them alone on write; a directory glob would crash on them."""
+    m = read_manifest(stage_dir)
+    if m and m.get("partitions"):
+        return ray.data.read_parquet(
+            [os.path.join(stage_dir, p["file"]) for p in m["partitions"]]
+        )
+    return ray.data.read_parquet(stage_dir)
 
 
 def read_manifest(stage_dir: str) -> dict | None:
@@ -130,7 +148,7 @@ def load_or_compute(
     stage_dir = os.path.join(base_dir, stage)
     chain = chain_hash(config_hash, input_manifest)
     if resume and manifest_valid(stage_dir, config_hash, input_manifest):
-        return ray.data.read_parquet(stage_dir), chain
+        return read_stage(stage_dir), chain
     t0 = time.time()
     ds = compute()
     m = dict(metrics or {})
@@ -146,4 +164,4 @@ def load_or_compute(
         mf["metrics"] = m
         with open(_manifest_path(stage_dir), "w") as f:
             json.dump(mf, f, indent=1)
-    return ray.data.read_parquet(stage_dir), chain
+    return read_stage(stage_dir), chain

@@ -66,6 +66,96 @@ TIERS = ("url", "exact", "lines", "minhash")
 #   losers removed. Catches paraphrase-level duplicates MinHash can't.
 ALL_TIERS = ("quality",) + TIERS + ("semantic",)
 
+# docs sampled to estimate lines-per-doc for the lines tier's exchange hint
+_LINES_SAMPLE_DOCS = 256
+
+
+def sampled_lines_hint(
+    docs: ray.data.Dataset,
+    n: int | None,
+    text_col: str = "text",
+    sep: str = "\n",
+    sample: int = _LINES_SAMPLE_DOCS,
+) -> int | None:
+    """Estimated exploded row count of the lines tier: ``n`` docs times the
+    mean lines-per-doc of a small sample (one cheap ``take_batch`` off an
+    already-materialized corpus). Only a partition-count HINT — a biased
+    sample under/over-partitions, it never changes results."""
+    if not n:  # None (unknown) or 0 (empty corpus — take_batch would raise)
+        return n
+    import pyarrow.compute as pc
+
+    tb = docs.select_columns([text_col]).limit(sample).take_batch(
+        sample, batch_format="pyarrow"
+    )
+    if tb.num_rows == 0:
+        return n
+    col = pc.fill_null(tb[text_col].combine_chunks().cast(pa.string()), "")
+    per_doc = pc.add(pc.count_substring(col, sep), 1)
+    avg = pc.mean(per_doc).as_py() or 1.0
+    return int(n * max(1.0, avg))
+
+
+def resolve_removals(
+    removals: dict[str, ray.data.Dataset | None],
+    tiers: tuple[str, ...],
+    num_partitions: int = 32,
+) -> ray.data.Dataset | None:
+    """Trace every removed doc to its FINAL surviving representative.
+
+    ``removals[tier]`` maps doc -> representative AT REMOVAL TIME; a
+    representative can itself be removed by a LATER tier (exact maps 22 -> 20,
+    then minhash removes 20 into 7). Resolution walks the tiers in cascade
+    order, repointing earlier tiers' representatives through each later
+    tier's mapping with one narrow hash join per later tier — all int64
+    columns, nothing corpus-wide on the driver. Null-representative removals
+    (quality / lines) pass through unchanged. Returns one
+    (doc_id, final_cluster_id) Dataset over all tiers' removed docs, or None
+    when no tier recorded removals."""
+    from ..stages.exchange import hash_join, stamp_schema
+
+    i64 = pa.int64()
+    acc_schema = pa.schema([("doc_id", i64), ("cluster_id", i64)])
+    acc: ray.data.Dataset | None = None  # docs removed so far, repointed
+    for tier in tiers:
+        m = removals.get(tier)
+        if m is None:
+            continue
+        m = m.select_columns(["doc_id", "cluster_id"])
+        if acc is not None:
+            # repoint accumulated representatives through THIS tier's map:
+            # left-outer join on cluster_id; matched rows take the newer
+            # representative, unmatched keep theirs (they survived this tier)
+            joined = hash_join(
+                acc,
+                m.rename_columns({"doc_id": "cluster_id", "cluster_id": "new_rep"}),
+                on=("cluster_id",),
+                num_partitions=num_partitions,
+                join_type="left outer",
+                left_schema=acc_schema,
+                right_schema=pa.schema([("cluster_id", i64), ("new_rep", i64)]),
+            )
+
+            def _repoint(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+                    return acc_schema.empty_table()
+                import pyarrow.compute as pc
+
+                rep = (
+                    pc.coalesce(batch["new_rep"], batch["cluster_id"])
+                    if "new_rep" in batch.column_names
+                    else batch["cluster_id"]
+                )
+                return pa.table(
+                    {"doc_id": batch["doc_id"], "cluster_id": rep}
+                ).cast(acc_schema)
+
+            acc = stamp_schema(
+                joined.map_batches(_repoint, batch_format="pyarrow"), acc_schema
+            )
+        acc = m if acc is None else acc.union(m)
+    return acc
+
 
 def _tiered_hash(
     cfg: DedupConfig,
@@ -74,11 +164,26 @@ def _tiered_hash(
     use_html,
     quality_threshold,
     semantic_threshold,
+    id_col=None,
+    emb_vec_col: str = "embedding",
+    embedding_dim=None,
+    source_id: str | None = None,
 ) -> str:
+    # EVERYTHING that changes the cascade's output must be in this blob —
+    # with out_dir/resume a collision silently returns a stale checkpoint as
+    # the current result. id_col switches extraction vs pre-projected input;
+    # the semantic tier's embeddings identity (vec col, dim, and the caller's
+    # source_id, e.g. job.py's --embeddings path) changes its clusters.
     blob = (
         f"{cfg.config_hash()}|{','.join(tiers)}|{lang_filter}|{use_html}"
+        f"|id={id_col!r}"
         + (f"|q={quality_threshold!r}" if "quality" in tiers else "")
-        + (f"|s={semantic_threshold!r}" if "semantic" in tiers else "")
+        + (
+            f"|s={semantic_threshold!r}|v={emb_vec_col}|d={embedding_dim!r}"
+            f"|src={source_id!r}"
+            if "semantic" in tiers
+            else ""
+        )
     )
     return hashlib.blake2b(blob.encode(), digest_size=8).hexdigest()
 
@@ -104,6 +209,7 @@ def run_tiered_dedup(
     semantic_threshold: float = 0.95,
     emb_vec_col: str = "embedding",
     track_removals: bool = True,
+    source_id: str | None = None,
 ) -> dict:
     """Run the dedup cascade; returns
     ``{"docs", "clusters", "tier_stats", "removals", "lineage",
@@ -126,7 +232,12 @@ def run_tiered_dedup(
 
     ``id_col``: pass when ``webpages`` is already a doc table with stable int
     ids (skips HTML extraction; the ``url`` tier then requires a ``url``
-    column to be present too)."""
+    column to be present too).
+
+    ``source_id``: opaque identity string for out-of-band inputs that change
+    the result but can't be hashed from here — pass the embeddings file path
+    when the ``semantic`` tier reads one (job.py does) so a re-run against a
+    different embeddings file invalidates the checkpoints."""
     from ..state.metrics import read_drops, reset_drops
 
     cfg = cfg or DedupConfig()
@@ -146,7 +257,9 @@ def run_tiered_dedup(
             "(doc_id, embedding) aligned with the corpus doc ids"
         )
     ch = _tiered_hash(
-        cfg, tiers, lang_filter, use_html, quality_threshold, semantic_threshold
+        cfg, tiers, lang_filter, use_html, quality_threshold, semantic_threshold,
+        id_col=id_col, emb_vec_col=emb_vec_col, embedding_dim=embedding_dim,
+        source_id=source_id,
     )
     if drop_counter is None:
         drop_counter = f"tiered:{ch}"
@@ -231,12 +344,11 @@ def run_tiered_dedup(
 
     def _tier_lines(docs_in, n):
         # rows hint for the line-fingerprint exchange: lines-per-doc is
-        # unknown before the explode; 16x docs is a generous web-page
-        # estimate that right-sizes small corpora while web-scale inputs
-        # blow past the caller's partition count either way
+        # unknown before the explode, so estimate it from a small doc sample
+        # (a hard-coded guess under-partitions corpora of very long docs)
         stripped = dedup.line_dedup(
             docs_in, reassemble=True, num_partitions=num_partitions,
-            input_rows=n * 16 if n is not None else None,
+            input_rows=sampled_lines_hint(docs_in, n),
         )
         narrow, nschema = probe_schema(docs_in.drop_columns(["text"]))
         if nschema is None or len(nschema.names) <= 1:
@@ -364,13 +476,29 @@ def run_tiered_dedup(
             # full manifest validation (config hash + input chain + file
             # sizes), not mere existence: a stale table from a different-
             # config run must not be silently returned as provenance
+            provenance_lost = False
             if ckpt.manifest_valid(map_dir, ch, chain_before):
-                m = ray.data.read_parquet(map_dir)
+                m = ckpt.read_stage(map_dir)
                 removals[tier] = m.filter(expr="doc_id != cluster_id")
                 if tier == "minhash":
                     clusters = m
             else:
+                # the tier's docs checkpoint validated but its provenance
+                # side table didn't — the docs result is still correct, but
+                # removals[tier] (and clusters for minhash) are unavailable.
+                # Record WHY so a null n_clustered in job.py is attributable.
                 removals[tier] = None
+                provenance_lost = True
+                import warnings
+
+                warnings.warn(
+                    f"tiered dedup: resumed tier {tier!r} but its provenance "
+                    f"table at {map_dir} failed manifest validation — "
+                    f"removals[{tier!r}]"
+                    + (" and clusters are" if tier == "minhash" else " is")
+                    + " None for this run (docs output unaffected)",
+                    stacklevel=2,
+                )
         kept = docs.count()
         stats[tier] = {
             "input": n_in,
@@ -379,6 +507,8 @@ def run_tiered_dedup(
             "sec": round(time.perf_counter() - t0, 3),
             "resumed": resumed,
         }
+        if resumed and tier in ("url", "exact", "minhash", "semantic"):
+            stats[tier]["provenance_resumed"] = not provenance_lost
         n_in = kept
 
     return {

@@ -122,7 +122,11 @@ def run_webdedup(
     if out_dir:
         docs, chain = ckpt.load_or_compute(out_dir, "docs", ch, chain, _docs, resume=resume)
     else:
-        docs = _docs()
+        # materialize so HTML extraction runs ONCE: docs is consumed by the
+        # signer AND returned for callers to join clusters back onto — a lazy
+        # plan here re-extracts per consumer (the checkpointed path reads
+        # back Parquet and has the same run-once property)
+        docs = _docs().materialize()
 
     def _sigs():
         return minhash.sign(

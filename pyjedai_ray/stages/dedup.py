@@ -50,37 +50,63 @@ def line_dedup(
     the surviving lines re-joined per doc as (doc_id, text) — docs whose
     every line was a repeat are dropped (C4 drops empty docs too).
 
-    Plan: explode lines -> ONE hash exchange keyed on the line's md5
-    fingerprint (lines can be KBs; the key never is) -> per-partition sorted
-    run detection keeps each run's first (doc_id, line_no) -> optional second
-    exchange keyed on doc_id re-joins survivors in line order. Nothing
-    corpus-sized touches the driver."""
-    import hashlib
+    Plan: explode lines -> ONE hash exchange keyed on the line's 128-bit
+    content fingerprint (lines can be KBs; the key is 16 bytes) ->
+    per-partition sorted run detection keeps each run's first
+    (doc_id, line_no) -> optional second exchange keyed on doc_id re-joins
+    survivors in line order. Nothing corpus-sized touches the driver.
 
+    The explode is Arrow-vectorized (split_pattern + list_flatten /
+    list_parent_indices, the signer's fast-path shape): the only Python loop
+    hashes the batch's DICTIONARY of distinct lines (two seeded blake2b-64
+    halves -> fp1/fp2), which web boilerplate makes a small fraction of the
+    occurrences — this was the cascade lines tier's hot loop as a per-line
+    md5."""
     import numpy as np
     import pyarrow.compute as pc
 
+    from ..functions.hashing import hash64_array
     from .exchange import effective_partitions
 
     def _explode(batch: pa.Table) -> pa.Table:
-        ids_out: list[int] = []
-        lns: list[int] = []
-        lines: list[str] = []
-        fps: list[str] = []
-        for did, text in zip(
-            batch[id_col].to_pylist(), batch[text_col].to_pylist()
-        ):
-            for i, line in enumerate((text or "").split(sep), start=1):
-                ids_out.append(did)
-                lns.append(i)
-                lines.append(line)
-                fps.append(hashlib.md5(line.encode()).hexdigest())
+        empty = pa.schema(
+            [("doc_id", pa.int64()), ("line_no", pa.int64()),
+             ("line", pa.string()), ("fp1", pa.int64()), ("fp2", pa.int64())]
+        ).empty_table()
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        col = pc.fill_null(
+            batch[text_col].combine_chunks().cast(pa.string()), ""
+        )
+        lists = pc.split_pattern(col, sep)  # same semantics as str.split(sep)
+        flat = pc.list_flatten(lists)
+        total = len(flat)
+        if total == 0:
+            return empty
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        # 1-based position within each doc, fully vectorized
+        line_no = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens) + 1
+        ids = np.repeat(
+            batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64), lens
+        )
+        # hash only the batch's DISTINCT lines; gather per occurrence
+        dic = flat.dictionary_encode()
+        uniq = dic.dictionary.to_pylist()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64 bit-reinterpretation: hash/key columns must never be uint64
+        # (Ray's shuffle degrades uint64 blocks to pickled python objects)
+        u1 = hash64_array(uniq, seed=0x11E5).view(np.int64)
+        u2 = hash64_array(uniq, seed=0x7F00 ^ 0x11E5).view(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids_out, pa.int64()),
-                "line_no": pa.array(lns, pa.int64()),
-                "line": pa.array(lines, pa.string()),
-                "fp": pa.array(fps, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "line_no": pa.array(line_no, pa.int64()),
+                "line": flat,
+                "fp1": pa.array(u1[codes], pa.int64()),
+                "fp2": pa.array(u2[codes], pa.int64()),
             }
         )
 
@@ -88,29 +114,29 @@ def line_dedup(
         _explode, batch_format="pyarrow"
     )
     nparts = effective_partitions(num_partitions, rows=input_rows)
-    parts = exploded.repartition(nparts, keys=["fp"])
+    parts = exploded.repartition(nparts, keys=["fp1", "fp2"])
 
     survivors_schema = pa.schema(
         [("doc_id", pa.int64()), ("line_no", pa.int64()), ("line", pa.string())]
     )
 
     def _first(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "fp" not in batch.column_names:
+        if batch.num_rows == 0 or "fp1" not in batch.column_names:
             return survivors_schema.empty_table()
         idx = pc.sort_indices(
             batch,
             sort_keys=[
-                ("fp", "ascending"),
+                ("fp1", "ascending"),
+                ("fp2", "ascending"),
                 ("doc_id", "ascending"),
                 ("line_no", "ascending"),
             ],
         )
         t = batch.take(idx)
-        fps = t["fp"].combine_chunks()
-        neq = pc.not_equal(fps.slice(1), fps.slice(0, len(fps) - 1))
-        starts = np.concatenate(
-            [[0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1]
-        )
+        f1 = t["fp1"].to_numpy(zero_copy_only=False)
+        f2 = t["fp2"].to_numpy(zero_copy_only=False)
+        neq = (f1[1:] != f1[:-1]) | (f2[1:] != f2[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
         kept = t.take(pa.array(starts, pa.int64()))
         return kept.select(["doc_id", "line_no", "line"])
 

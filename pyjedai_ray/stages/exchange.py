@@ -189,6 +189,10 @@ def semi_join_ids(
     (keep=False) in ``ids`` (a narrow int64-id Dataset; extra columns and
     duplicate ids are fine — only membership matters).
 
+    ``mode`` must be one of {"auto", "broadcast", "join"} — validated up
+    front so a typo ("semi", "Broadcast") fails loudly instead of silently
+    taking the broadcast path.
+
     mode "broadcast": ids are 8 bytes each — materialize the id side once,
     build ONE sorted numpy membership array in the object store (remote build
     task, zero-copy ``ray.get`` per map task), and mask each left batch with
@@ -199,6 +203,11 @@ def semi_join_ids(
     tiered cascade @2.56M docs: join-mode exact/lines tiers cost 90/77 s
     because the WIDE text rows shuffled; broadcast masks avoid that
     entirely)."""
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(
+            f"semi_join_ids: mode must be 'auto', 'broadcast' or 'join', "
+            f"got {mode!r}"
+        )
     ensure_context(left)
     mat = ids.select_columns([ids_col]).materialize()
     if mode == "auto":
@@ -373,11 +382,20 @@ def hash_join(
             # cast is cheap metadata when types already match)
             lt = lt.cast(lschema)
             rt = rt.cast(rschema)
-        if join_type in ("left semi", "left anti") and len(on) == 1:
+        if (
+            join_type in ("left semi", "left anti")
+            and len(on) == 1
+            and pa.types.is_integer(lschema.field(on[0]).type)
+            and lt[on[0]].null_count == 0
+            and rt[on[0]].null_count == 0
+        ):
             # membership joins never read payload columns, but Acero rejects
             # the join outright when the LEFT side carries non-primitive
             # payloads (e.g. list<double> embeddings) — mask by key instead.
-            # Keys are non-null by construction (int64 ids / hashes).
+            # Gated to non-null integer keys: a nullable key would surface as
+            # float64+NaN from to_numpy (wrong dtype, wrong matches) and a
+            # string key gains nothing over Acero — both fall through to the
+            # Table.join below, which handles nulls as non-matching.
             lv = lt[on[0]].to_numpy(zero_copy_only=False)
             rv = np.unique(rt[on[0]].to_numpy(zero_copy_only=False))
             if rv.size and lv.size:

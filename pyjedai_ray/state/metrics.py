@@ -56,9 +56,27 @@ def get_counter(name: str):
     ).remote()
 
 
-@functools.lru_cache(maxsize=64)
-def _cached_handle(name: str):
+def _session_key() -> str:
+    """Identity of the current Ray session (the GCS address is unique per
+    ``ray.init``). Cached handles from a PREVIOUS session are dead actors —
+    keying the cache on the session means a process that does
+    ``ray.shutdown(); ray.init()`` (notebook pattern) gets a fresh counter
+    instead of a RayActorError."""
+    if not ray.is_initialized():
+        return ""
+    try:
+        return ray.get_runtime_context().gcs_address or ""
+    except Exception:
+        return ""
+
+
+@functools.lru_cache(maxsize=256)
+def _session_cached_handle(session: str, name: str):
     return get_counter(name)
+
+
+def _cached_handle(name: str):
+    return _session_cached_handle(_session_key(), name)
 
 
 def report_drops(name: str, key: str, dropped_comparisons: int, events: int = 1) -> None:

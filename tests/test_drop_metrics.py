@@ -175,3 +175,32 @@ def test_webdedup_manifest_carries_drop_metrics(tmp_path, ray_session):
     # the live view agrees
     live = res["drop_metrics"]()
     assert live["lsh_band_cap"]["dropped_comparisons"] >= drops["lsh_band_cap"]["dropped_comparisons"]
+
+
+def test_drop_counter_survives_ray_reinit():
+    """A process that does ray.shutdown(); ray.init() (notebook pattern) must
+    get a FRESH counter, not a RayActorError from a dead-actor handle cached
+    across sessions (VERDICT r4 #4). Runs in a subprocess so the session
+    fixture's Ray stays untouched."""
+    import subprocess
+    import sys
+
+    script = r"""
+import ray
+from pyjedai_ray.state.metrics import read_drops, report_drops
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+report_drops("reinit_test", "k", 5)
+assert read_drops("reinit_test")["k"]["dropped_comparisons"] == 5
+ray.shutdown()
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+report_drops("reinit_test", "k", 7)  # raised RayActorError before the fix
+totals = read_drops("reinit_test")
+assert totals["k"]["dropped_comparisons"] == 7, totals  # fresh session, fresh counter
+ray.shutdown()
+print("REINIT_OK")
+"""
+    p = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "REINIT_OK" in p.stdout

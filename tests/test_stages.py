@@ -454,3 +454,72 @@ def test_effective_partitions_rows_hint(ray_session):
     assert big == effective_partitions(32)
     # no hint -> unchanged behavior
     assert effective_partitions(8) >= 2
+
+
+def test_write_stage_leaves_stray_entries_alone(tmp_path):
+    """write_stage must clear only its own artifacts (*.parquet + manifest):
+    a subdirectory or user file parked in the stage dir previously raised
+    IsADirectoryError mid-write, after the old manifest was invalidated."""
+    import os
+
+    import ray.data
+
+    from pyjedai_ray.pipelines import checkpoint as ckpt
+
+    stage_dir = tmp_path / "stage_x"
+    stage_dir.mkdir()
+    (stage_dir / "user_notes.txt").write_text("keep me")
+    (stage_dir / "scratch_dir").mkdir()
+    (stage_dir / "scratch_dir" / "inner.txt").write_text("nested")
+    (stage_dir / "stale.parquet").write_bytes(b"not really parquet")
+
+    m = ckpt.write_stage(ray.data.range(5), str(stage_dir), "stage_x", "cfg")
+    assert m["row_count"] == 5
+    # stray non-parquet entries survive; the stale parquet was cleared
+    assert (stage_dir / "user_notes.txt").read_text() == "keep me"
+    assert (stage_dir / "scratch_dir" / "inner.txt").exists()
+    assert not (stage_dir / "stale.parquet").exists()
+    # manifest lists only the real partitions
+    assert all(p["file"].endswith(".parquet") for p in m["partitions"])
+    assert ckpt.manifest_valid(str(stage_dir), "cfg")
+    # and a resume reads back cleanly despite the strays
+    ds, _ = ckpt.load_or_compute(
+        str(tmp_path), "stage_x", "cfg", "", lambda: (_ for _ in ()).throw(AssertionError)
+    )
+    assert ds.count() == 5
+
+
+def test_hash_join_semi_anti_string_and_nullable_keys():
+    """The semi/anti searchsorted fast path is gated to non-null integer
+    keys (ADVICE r4): string keys and nullable int keys must fall back to the
+    Acero join, where nulls are non-matching."""
+    import ray.data
+
+    from pyjedai_ray.stages.exchange import hash_join
+
+    i64, s = pa.int64(), pa.string()
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(["a", "b", None, "c"], s),
+                  "v": pa.array([1, 2, 3, 4], i64)})
+    )
+    right = ray.data.from_arrow(pa.table({"k": pa.array(["b", "c", None], s)}))
+    lschema = pa.schema([("k", s), ("v", i64)])
+    rschema = pa.schema([("k", s)])
+    semi = hash_join(left, right, on=("k",), num_partitions=2,
+                     join_type="left semi", left_schema=lschema, right_schema=rschema)
+    assert sorted(r["v"] for r in semi.take_all()) == [2, 4]
+    anti = hash_join(left, right, on=("k",), num_partitions=2,
+                     join_type="left anti", left_schema=lschema, right_schema=rschema)
+    assert sorted(r["v"] for r in anti.take_all()) == [1, 3]
+
+    # nullable INT key: same fallback (the mask path would see NaN floats)
+    left_i = ray.data.from_arrow(
+        pa.table({"k": pa.array([10, None, 30], i64),
+                  "v": pa.array([1, 2, 3], i64)})
+    )
+    right_i = ray.data.from_arrow(pa.table({"k": pa.array([10, None], i64)}))
+    li = pa.schema([("k", i64), ("v", i64)])
+    ri = pa.schema([("k", i64)])
+    semi_i = hash_join(left_i, right_i, on=("k",), num_partitions=2,
+                       join_type="left semi", left_schema=li, right_schema=ri)
+    assert sorted(r["v"] for r in semi_i.take_all()) == [1]
