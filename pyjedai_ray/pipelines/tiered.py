@@ -68,6 +68,15 @@ ALL_TIERS = ("quality",) + TIERS + ("semantic",)
 
 # docs sampled to estimate lines-per-doc for the lines tier's exchange hint
 _LINES_SAMPLE_DOCS = 256
+# exchange-weight normalizer: effective_partitions' ROWS_PER_PARTITION is
+# tuned for NARROW rows (ids/hashes); the exploded line rows carry the line
+# text itself, so a row "weighs" its payload. 256 B/row means a partition
+# targets ~131072 x 256 B ≈ 32 MB of line payload — a corpus of few-line
+# WIDE docs (one 2 KB paragraph per doc) then keeps enough partitions even
+# though its raw row count is small (measured: the 2.56M single-line bench
+# corpus fell from 32 to 20 partitions on a rows-only hint and the lines
+# tier doubled).
+_LINE_ROW_BYTES = 256
 
 
 def sampled_lines_hint(
@@ -77,10 +86,11 @@ def sampled_lines_hint(
     sep: str = "\n",
     sample: int = _LINES_SAMPLE_DOCS,
 ) -> int | None:
-    """Estimated exploded row count of the lines tier: ``n`` docs times the
-    mean lines-per-doc of a small sample (one cheap ``take_batch`` off an
-    already-materialized corpus). Only a partition-count HINT — a biased
-    sample under/over-partitions, it never changes results."""
+    """Exchange-weight row estimate for the lines tier: ``n`` docs times the
+    sampled mean lines-per-doc, floored by the sampled text bytes /
+    ``_LINE_ROW_BYTES`` (one cheap ``take_batch`` off an already-materialized
+    corpus). Only a partition-count HINT — a biased sample under/over-
+    partitions, it never changes results."""
     if not n:  # None (unknown) or 0 (empty corpus — take_batch would raise)
         return n
     import pyarrow.compute as pc
@@ -92,8 +102,10 @@ def sampled_lines_hint(
         return n
     col = pc.fill_null(tb[text_col].combine_chunks().cast(pa.string()), "")
     per_doc = pc.add(pc.count_substring(col, sep), 1)
-    avg = pc.mean(per_doc).as_py() or 1.0
-    return int(n * max(1.0, avg))
+    avg_lines = pc.mean(per_doc).as_py() or 1.0
+    avg_bytes = pc.mean(pc.binary_length(col)).as_py() or 0.0
+    est_rows = n * max(1.0, avg_lines)
+    return int(max(est_rows, n * avg_bytes / _LINE_ROW_BYTES))
 
 
 def resolve_removals(

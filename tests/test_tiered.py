@@ -554,3 +554,34 @@ def test_tiered_hash_covers_identity():
     # outside the semantic tier the embeddings identity is inert (no spurious
     # invalidation of url/exact/lines checkpoints)
     assert _tiered_hash(cfg, TIERS, None, True, 0.5, 0.95, source_id="/a.parquet") == base
+
+
+def test_tiered_resume_with_lost_provenance_warns(tmp_path):
+    """A resumed tier whose provenance side table fails manifest validation
+    must warn and flag it in tier_stats — not silently hand back
+    removals[tier] = None (ADVICE r4)."""
+    import json
+    import warnings
+
+    out = str(tmp_path / "tiered")
+    _run(out_dir=out)
+    # corrupt the minhash provenance manifest (docs checkpoint stays valid)
+    mpath = f"{out}/tier_minhash_clusters/_manifest.json"
+    with open(mpath) as f:
+        m = json.load(f)
+    m["config_hash"] = "deadbeef"
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        res = _run(out_dir=out)
+    assert res["tier_stats"]["minhash"]["resumed"]
+    assert res["tier_stats"]["minhash"]["provenance_resumed"] is False
+    assert res["removals"]["minhash"] is None
+    assert res["clusters"] is None
+    assert any("provenance" in str(w.message) for w in caught), [
+        str(w.message) for w in caught
+    ]
+    # docs output is unaffected by the lost side table
+    assert sorted(r["doc_id"] for r in res["docs"].take_all()) == [0, 4, 8, 12, 16]
