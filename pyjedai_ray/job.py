@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--semantic-threshold", type=float, default=0.95,
         help="cosine threshold for the 'semantic' near-dup tier",
     )
+    p.add_argument(
+        "--removals-out", default=None,
+        help="(cascade only) also write the RESOLVED removal provenance — "
+        "every removed doc mapped to its FINAL surviving representative "
+        "(tiered.resolve_removals) — as Parquet under this directory",
+    )
     p.add_argument("--no-resume", action="store_true",
                    help="recompute every stage even if manifests validate")
     p.add_argument("--no-html", action="store_true",
@@ -151,6 +157,22 @@ def main(argv: list[str] | None = None) -> dict:
             ),
             "drop_metrics": res["drop_metrics"](),
         }
+        if args.removals_out:
+            from .pipelines.tiered import resolve_removals
+
+            resolved = resolve_removals(
+                res["removals"], tiers, num_partitions=args.num_partitions
+            )
+            if resolved is not None:
+                resolved = resolved.materialize()  # one execution: write + count
+                resolved.write_parquet(args.removals_out)
+                summary["n_removed"] = resolved.count()
+                summary["removals_out"] = args.removals_out
+            else:
+                # attributable (a resumed run may have lost provenance side
+                # tables — the tier_stats provenance_resumed flags say which)
+                summary["n_removed"] = None
+                summary["removals_out"] = None
         print(json.dumps(summary))
         return summary
 

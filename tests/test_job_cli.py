@@ -94,3 +94,43 @@ def test_job_cli_empty_tiers_rejected(tmp_path, ray_session):
     ray.data.range(1).write_parquet(inp)  # never reached past the guard
     with pytest.raises(SystemExit, match="zero tiers"):
         main(["--input", inp, "--out", str(tmp_path / "out"), "--tiers", " , "])
+
+
+def test_job_cli_removals_out(tmp_path, ray_session):
+    """--removals-out writes the RESOLVED provenance (doc -> FINAL surviving
+    representative): every removed doc appears once, no representative points
+    at another removed doc, and n_removed reconciles with tier_stats."""
+    import ray.data
+
+    from pyjedai_ray.job import main
+    from pyjedai_ray.sources.webpages import synthesize_webpages
+
+    inp = str(tmp_path / "webpages")
+    out = str(tmp_path / "tiered")
+    rem_out = str(tmp_path / "removals")
+    synthesize_webpages("/root/testdata/sf0.001").drop_columns(
+        ["doc_id", "gt_cluster"]
+    ).write_parquet(inp)
+
+    summary = main([
+        "--input", inp, "--out", out, "--num-partitions", "4",
+        "--tiers", "url,exact,lines,minhash",
+        "--cluster-mode", "driver", "--verify-mode", "broadcast",
+        "--removals-out", rem_out,
+    ])
+    total_removed = sum(v["removed"] for v in summary["tier_stats"].values())
+    assert summary["n_removed"] == total_removed > 0
+    assert summary["removals_out"] == rem_out
+
+    resolved = ray.data.read_parquet(rem_out)
+    rows = resolved.take_all()
+    assert len(rows) == total_removed
+    assert len({r["doc_id"] for r in rows}) == total_removed  # once each
+    survivors = {
+        r["doc_id"]
+        for r in ray.data.read_parquet(f"{out}/tier_minhash").take_all()
+    }
+    for r in rows:
+        assert r["doc_id"] not in survivors
+        if r["cluster_id"] is not None:
+            assert r["cluster_id"] in survivors, r
