@@ -36,6 +36,14 @@ def run_tiered_dedup(*args, **kwargs):
     return _f(*args, **kwargs)
 
 
+def resolve_removals(*args, **kwargs):
+    """Trace the cascade's removed docs to their FINAL surviving
+    representatives (lazy re-export of pipelines.tiered.resolve_removals)."""
+    from .pipelines.tiered import resolve_removals as _f
+
+    return _f(*args, **kwargs)
+
+
 def _set_default_context() -> None:
     # Datasets capture the DataContext at creation; switch the process to the
     # hash-shuffle backend up front so every plan built after importing this
