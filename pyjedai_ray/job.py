@@ -158,19 +158,30 @@ def main(argv: list[str] | None = None) -> dict:
             "drop_metrics": res["drop_metrics"](),
         }
         if args.removals_out:
+            from .pipelines import checkpoint as ckpt
             from .pipelines.tiered import resolve_removals
 
-            resolved = resolve_removals(
-                res["removals"], tiers, num_partitions=args.num_partitions
-            )
+            try:
+                resolved = resolve_removals(
+                    res["removals"], tiers, num_partitions=args.num_partitions
+                )
+            except ValueError as e:
+                # a resumed tier lost its provenance side table — a partial
+                # export would silently omit that tier's removals AND point
+                # earlier tiers at docs it removed; report why instead
+                resolved = None
+                summary["removals_error"] = str(e)
             if resolved is not None:
-                resolved = resolved.materialize()  # one execution: write + count
-                resolved.write_parquet(args.removals_out)
-                summary["n_removed"] = resolved.count()
+                # write_stage (not a bare write_parquet): clears a previous
+                # run's files from the target dir and stamps a manifest, so
+                # resubmissions never accumulate mixed-run provenance rows
+                m = ckpt.write_stage(
+                    resolved, args.removals_out, "resolved_removals",
+                    cfg.config_hash(), res["lineage"],
+                )
+                summary["n_removed"] = m["row_count"]
                 summary["removals_out"] = args.removals_out
             else:
-                # attributable (a resumed run may have lost provenance side
-                # tables — the tier_stats provenance_resumed flags say which)
                 summary["n_removed"] = None
                 summary["removals_out"] = None
         print(json.dumps(summary))

@@ -88,8 +88,15 @@ def read_stage(stage_dir: str) -> ray.data.Dataset:
     partition files, not a directory glob. Stray entries a user parked in the
     stage dir (notes, subdirectories) are ignored on read just as write_stage
     leaves them alone on write; a directory glob would crash on them."""
+    import pyarrow as pa
+
     m = read_manifest(stage_dir)
-    if m and m.get("partitions"):
+    if m is not None:
+        if not m.get("partitions"):
+            # an empty stage (a tier that removed everything) writes no
+            # parquet files; a directory glob here would choke on the
+            # manifest itself or preserved stray entries
+            return ray.data.from_arrow(pa.table({}))
         return ray.data.read_parquet(
             [os.path.join(stage_dir, p["file"]) for p in m["partitions"]]
         )

@@ -121,31 +121,63 @@ def resolve_removals(
     order, repointing earlier tiers' representatives through each later
     tier's mapping with one narrow hash join per later tier — all int64
     columns, nothing corpus-wide on the driver. Null-representative removals
-    (quality / lines) pass through unchanged. Returns one
-    (doc_id, final_cluster_id) Dataset over all tiers' removed docs, or None
-    when no tier recorded removals."""
+    (quality / lines) pass through unchanged; a representative that a later
+    tier removes WITHOUT a successor (its every line was a repeat) resolves
+    the earlier doc's representative to null too — never to a dead doc.
+    Returns one (doc_id, final_cluster_id) Dataset over all tiers' removed
+    docs, or None when no tier recorded removals.
+
+    Raises ValueError when a tier RAN but its provenance is unavailable
+    (``removals[tier] is None`` — e.g. a resumed run whose provenance side
+    table failed manifest validation): a silently partial table would both
+    omit that tier's removals and leave earlier tiers pointing at docs it
+    removed."""
     from ..stages.exchange import hash_join, stamp_schema
 
     i64 = pa.int64()
     acc_schema = pa.schema([("doc_id", i64), ("cluster_id", i64)])
     acc: ray.data.Dataset | None = None  # docs removed so far, repointed
     for tier in tiers:
+        if tier in removals and removals[tier] is None:
+            raise ValueError(
+                f"resolve_removals: tier {tier!r} ran but its removal "
+                "provenance is unavailable (lost on resume?) — resolution "
+                "would be silently incomplete. Re-run that tier with "
+                "resume=False to rebuild its provenance table."
+            )
         m = removals.get(tier)
         if m is None:
             continue
         m = m.select_columns(["doc_id", "cluster_id"])
         if acc is not None:
             # repoint accumulated representatives through THIS tier's map:
-            # left-outer join on cluster_id; matched rows take the newer
-            # representative, unmatched keep theirs (they survived this tier)
+            # left-outer join on cluster_id. A MATCH means the rep was
+            # removed by this tier — take its successor even when that
+            # successor is null (rep dissolved with no representative);
+            # coalesce alone can't tell that apart from "unmatched, rep
+            # survived", which kept dead reps in the output. The constant
+            # hit marker disambiguates.
+            def _mark(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "cluster_id": batch["doc_id"],
+                        "new_rep": batch["cluster_id"],
+                        "new_hit": pa.array(
+                            [1] * batch.num_rows, pa.int8()
+                        ),
+                    }
+                )
+
             joined = hash_join(
                 acc,
-                m.rename_columns({"doc_id": "cluster_id", "cluster_id": "new_rep"}),
+                m.map_batches(_mark, batch_format="pyarrow"),
                 on=("cluster_id",),
                 num_partitions=num_partitions,
                 join_type="left outer",
                 left_schema=acc_schema,
-                right_schema=pa.schema([("cluster_id", i64), ("new_rep", i64)]),
+                right_schema=pa.schema(
+                    [("cluster_id", i64), ("new_rep", i64), ("new_hit", pa.int8())]
+                ),
             )
 
             def _repoint(batch: pa.Table) -> pa.Table:
@@ -153,11 +185,13 @@ def resolve_removals(
                     return acc_schema.empty_table()
                 import pyarrow.compute as pc
 
-                rep = (
-                    pc.coalesce(batch["new_rep"], batch["cluster_id"])
-                    if "new_rep" in batch.column_names
-                    else batch["cluster_id"]
-                )
+                if "new_hit" in batch.column_names:
+                    hit = pc.fill_null(batch["new_hit"], 0)
+                    rep = pc.if_else(
+                        pc.equal(hit, 1), batch["new_rep"], batch["cluster_id"]
+                    )
+                else:
+                    rep = batch["cluster_id"]
                 return pa.table(
                     {"doc_id": batch["doc_id"], "cluster_id": rep}
                 ).cast(acc_schema)

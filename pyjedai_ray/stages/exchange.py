@@ -386,23 +386,36 @@ def hash_join(
             join_type in ("left semi", "left anti")
             and len(on) == 1
             and pa.types.is_integer(lschema.field(on[0]).type)
-            and lt[on[0]].null_count == 0
-            and rt[on[0]].null_count == 0
         ):
             # membership joins never read payload columns, but Acero rejects
             # the join outright when the LEFT side carries non-primitive
             # payloads (e.g. list<double> embeddings) — mask by key instead.
-            # Gated to non-null integer keys: a nullable key would surface as
-            # float64+NaN from to_numpy (wrong dtype, wrong matches) and a
-            # string key gains nothing over Acero — both fall through to the
-            # Table.join below, which handles nulls as non-matching.
-            lv = lt[on[0]].to_numpy(zero_copy_only=False)
-            rv = np.unique(rt[on[0]].to_numpy(zero_copy_only=False))
+            # Null keys follow SQL join semantics (never match): excluded by
+            # semi, kept by anti — handled INSIDE the mask, because falling
+            # back to Table.join for one null row would reintroduce the Acero
+            # crash this path exists to avoid. A nullable column would
+            # otherwise surface as float64+NaN from to_numpy, so nulls are
+            # filled with 0 and overridden by the validity mask. Non-integer
+            # keys (no caller today) take the Acero join below.
+            import pyarrow.compute as pc
+
+            lcol = lt[on[0]]
+            if lcol.null_count:
+                valid = pc.is_valid(lcol).to_numpy(zero_copy_only=False)
+                lv = pc.fill_null(lcol, 0).to_numpy(zero_copy_only=False)
+            else:
+                valid = None
+                lv = lcol.to_numpy(zero_copy_only=False)
+            rv = np.unique(
+                pc.drop_null(rt[on[0]]).to_numpy(zero_copy_only=False)
+            )
             if rv.size and lv.size:
                 p = np.searchsorted(rv, lv)
                 inside = (p < rv.size) & (rv[np.minimum(p, rv.size - 1)] == lv)
             else:
                 inside = np.zeros(len(lv), dtype=bool)
+            if valid is not None:
+                inside &= valid  # a null key matches nothing
             return lt.filter(pa.array(inside if join_type == "left semi" else ~inside))
         return lt.join(rt, keys=on, right_keys=on, join_type=join_type)
 

@@ -56,18 +56,18 @@ def get_counter(name: str):
     ).remote()
 
 
-def _session_key() -> str:
+def _session_key() -> str | None:
     """Identity of the current Ray session (the GCS address is unique per
-    ``ray.init``). Cached handles from a PREVIOUS session are dead actors —
-    keying the cache on the session means a process that does
-    ``ray.shutdown(); ray.init()`` (notebook pattern) gets a fresh counter
-    instead of a RayActorError."""
+    ``ray.init``), or None when no session exists. Cached handles from a
+    PREVIOUS session are dead actors — keying the cache on the session means
+    a process that does ``ray.shutdown(); ray.init()`` (notebook pattern)
+    gets a fresh counter instead of a RayActorError."""
     if not ray.is_initialized():
-        return ""
+        return None
     try:
-        return ray.get_runtime_context().gcs_address or ""
+        return ray.get_runtime_context().gcs_address or None
     except Exception:
-        return ""
+        return None
 
 
 @functools.lru_cache(maxsize=256)
@@ -76,7 +76,13 @@ def _session_cached_handle(session: str, name: str):
 
 
 def _cached_handle(name: str):
-    return _session_cached_handle(_session_key(), name)
+    session = _session_key()
+    if session is None:
+        # no live session to key on (the actor call below will auto-init
+        # one): resolve WITHOUT caching — caching under a placeholder key
+        # would hand the same handle to a later, different session
+        return get_counter(name)
+    return _session_cached_handle(session, name)
 
 
 def report_drops(name: str, key: str, dropped_comparisons: int, events: int = 1) -> None:

@@ -523,3 +523,54 @@ def test_hash_join_semi_anti_string_and_nullable_keys():
     semi_i = hash_join(left_i, right_i, on=("k",), num_partitions=2,
                        join_type="left semi", left_schema=li, right_schema=ri)
     assert sorted(r["v"] for r in semi_i.take_all()) == [1]
+
+
+def test_hash_join_semi_anti_nullable_int_key_with_list_payload():
+    """The crash case the key-mask exists for, PLUS a null key: a nullable
+    int key must stay on the mask path (null = matches nothing: semi drops
+    it, anti keeps it) — falling back to Acero would reject the list<double>
+    payload outright (code-review r5 finding)."""
+    import ray.data
+
+    from pyjedai_ray.stages.exchange import hash_join
+
+    i64 = pa.int64()
+    lschema = pa.schema([("k", i64), ("emb", pa.list_(pa.float64()))])
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([10, None, 30, 40], i64),
+                "emb": pa.array(
+                    [[1.0], [2.0], [3.0], [4.0]], pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+    right = ray.data.from_arrow(pa.table({"k": pa.array([10, None], i64)}))
+    rschema = pa.schema([("k", i64)])
+    semi = hash_join(left, right, on=("k",), num_partitions=2,
+                     join_type="left semi", left_schema=lschema, right_schema=rschema)
+    assert sorted(r["emb"][0] for r in semi.take_all()) == [1.0]
+    anti = hash_join(left, right, on=("k",), num_partitions=2,
+                     join_type="left anti", left_schema=lschema, right_schema=rschema)
+    assert sorted(r["emb"][0] for r in anti.take_all()) == [2.0, 3.0, 4.0]
+
+
+def test_read_stage_empty_dataset_and_strays(tmp_path):
+    """A stage whose output is EMPTY (a tier that removed everything) must
+    read back as an empty dataset even when the stage dir holds only the
+    manifest plus preserved stray entries (code-review r5 finding)."""
+    import ray.data
+
+    from pyjedai_ray.pipelines import checkpoint as ckpt
+
+    stage_dir = tmp_path / "empty_stage"
+    empty = ray.data.from_arrow(
+        pa.schema([("doc_id", pa.int64())]).empty_table()
+    )
+    m = ckpt.write_stage(empty, str(stage_dir), "empty_stage", "cfg")
+    assert m["row_count"] == 0
+    (stage_dir / "user_note.txt").write_text("stray")
+    assert ckpt.manifest_valid(str(stage_dir), "cfg")
+    ds = ckpt.read_stage(str(stage_dir))
+    assert ds.count() == 0

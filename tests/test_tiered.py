@@ -479,7 +479,6 @@ def test_resolve_removals_chain():
     from pyjedai_ray.pipelines.tiered import resolve_removals
 
     removals = {
-        "url": None,
         "exact": ray.data.from_arrow(
             pa.table(
                 {
@@ -509,8 +508,44 @@ def test_resolve_removals_chain():
     got = {(r["doc_id"], r["cluster_id"]) for r in out.take_all()}
     assert got == {(22, 7), (20, 7), (15, 7), (30, None)}
 
-    # no removals at all -> None
-    assert resolve_removals({"url": None}, ("url",)) is None
+    # no removals at all -> None; a tier whose key is ABSENT just skips
+    assert resolve_removals({}, ("url",)) is None
+
+    # a tier that ran but LOST its provenance (key present, value None) must
+    # raise — a partial table would silently omit its removals
+    with pytest.raises(ValueError, match="provenance"):
+        resolve_removals({**removals, "minhash": None}, ("exact", "minhash"))
+
+
+def test_resolve_removals_rep_dissolved_without_successor():
+    """A representative removed by a LATER tier with NO successor (every
+    line was a repeat) must resolve the earlier doc to null — never to the
+    dead representative's id (code-review r5 finding, reproduced)."""
+    import ray.data
+
+    from pyjedai_ray.pipelines.tiered import resolve_removals
+
+    removals = {
+        "exact": ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([22], pa.int64()),
+                    "cluster_id": pa.array([20], pa.int64()),
+                }
+            )
+        ),
+        "lines": ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([20], pa.int64()),
+                    "cluster_id": pa.nulls(1, pa.int64()),
+                }
+            )
+        ),
+    }
+    out = resolve_removals(removals, ("exact", "lines"), num_partitions=4)
+    got = {(r["doc_id"], r["cluster_id"]) for r in out.take_all()}
+    assert got == {(22, None), (20, None)}, got
 
 
 def test_resolve_removals_on_real_cascade():
