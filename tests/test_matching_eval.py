@@ -142,3 +142,49 @@ def test_tf_and_boolean_vectorizers_hand_computed():
     assert math.isclose(tf[0]["weight"], 0.8, abs_tol=1e-12)
     bo = verify_pairs_tfidf(pairs, docs, vectorizer="boolean", num_partitions=2).take_all()
     assert math.isclose(bo[0]["weight"], 1.0, abs_tol=1e-12)
+
+
+def test_verify_pairs_mode_parity_with_prune():
+    """auto (pair-id pruned broadcast), join and broadcast must agree exactly.
+
+    The auto path semi-filters the signature side to the pairs' distinct ids
+    before broadcasting (matching.verify_pairs docstring) — this pins that
+    the prune changes the cost, never the values. Includes sig rows that NO
+    pair references (the rows the prune exists to drop)."""
+    import ray.data
+
+    from pyjedai_ray import DedupConfig
+    from pyjedai_ray.stages import minhash
+    from pyjedai_ray.stages.matching import verify_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox leaps over the lazy dog again and again",
+        "completely unrelated content about distributed shuffle engines",
+        "another document no candidate pair ever references at all",
+        "yet more filler text that only exists to be pruned away",
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    sigs = minhash.sign(docs, DedupConfig()).materialize()
+    pairs = _pairs([(0, 1), (0, 2), (1, 2), (0, 3)])
+
+    def rows(mode):
+        out = verify_pairs(pairs, sigs, threshold=0.0, num_partitions=4, mode=mode)
+        return sorted(
+            (r["id1"], r["id2"], round(r["weight"], 12), r["hamming"])
+            for r in out.take_all()
+        )
+
+    got = {m: rows(m) for m in ("auto", "join", "broadcast")}
+    assert got["auto"] == got["join"] == got["broadcast"]
+    assert len(got["auto"]) == 4
+    exact = [r for r in got["auto"] if r[0] == 0 and r[1] == 1]
+    assert exact[0][2] == 1.0 and exact[0][3] == 0
