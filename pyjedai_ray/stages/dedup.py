@@ -335,22 +335,26 @@ def simhash_dedup(
     simhash_bands: int = 4,
     num_partitions: int = 32,
     cluster_mode: str = "auto",
-    verify_mode: str = "join",
+    verify_mode: str = "auto",
     drop_counter: str | None = None,
 ) -> dict:
     """SimHash near-dup: Hamming-LSH chunk keys -> candidates -> Hamming
-    verification (keep pairs within cfg.simhash_hamming_max bits)."""
+    verification (keep pairs within cfg.simhash_hamming_max bits).
+
+    verify_mode defaults to "auto" so the pair-id pruned verification path
+    (matching.verify_pairs) applies: candidates almost always name far fewer
+    docs than the corpus, and join mode shuffled every signature row."""
     cfg = cfg or DedupConfig()
     sigs = minhash.sign(
         docs.select_columns([id_col, text_col]).rename_columns({id_col: "doc_id"}), cfg
     )
+    if verify_mode in ("broadcast", "auto"):
+        sigs = sigs.materialize()  # consumed twice: band explode + verify
     edges = minhash.explode_simhash_bands(sigs, bands=simhash_bands)
     candidates = blocking.candidate_pairs(
         edges, max_block_size=cfg.max_block_size, num_partitions=num_partitions,
         drop_counter=drop_counter, drop_key="simhash_band_cap",
     )
-    if verify_mode == "broadcast":
-        sigs = sigs.materialize()
     verified = matching.verify_pairs(
         candidates, sigs, threshold=0.0, num_partitions=num_partitions,
         keep_below=True, mode=verify_mode,
