@@ -143,11 +143,13 @@ def verify_pairs(
     signatures, else join (measured: per-actor dict merge collapses
     throughput ~2x at 2.5M docs).
     """
+    lookup_ready = False  # sigs already reduced to the lookup columns + materialized
     if mode == "auto":
         pairs, sigs = prune_to_pair_ids(
             pairs, sigs.select_columns(["doc_id", "shingles", "simhash"])
         )
         sigs = sigs.materialize()
+        lookup_ready = True
         # post-prune the count is the DISTINCT ids the pairs name (usually
         # tiny); a pathological candidate explosion still takes the join
         mode = "broadcast" if sigs.count() <= BROADCAST_DOC_LIMIT else "join"
@@ -169,8 +171,14 @@ def verify_pairs(
 
         # build lookup shards IN PARALLEL from the materialized signature
         # blocks; the driver only holds refs (no serial dict build — that was
-        # a linear Amdahl term in the scaling profile)
-        mat = sigs.select_columns(["doc_id", "shingles", "simhash"]).materialize()
+        # a linear Amdahl term in the scaling profile). The auto path already
+        # reduced sigs to exactly these columns and materialized — reuse it
+        # rather than paying a second corpus-sized select+materialize pass.
+        mat = (
+            sigs
+            if lookup_ready
+            else sigs.select_columns(["doc_id", "shingles", "simhash"]).materialize()
+        )
         shard_refs = [_shard.remote(ref) for ref in mat.to_arrow_refs()]
 
         class _VerifyBcast:
@@ -654,10 +662,9 @@ def llm_verify_stub(
     d = docs.select_columns([id_col, text_col]).rename_columns(
         {id_col: "doc_id", text_col: "text"}
     )
-    joined = join_signatures(
-        pairs.select_columns(["id1", "id2"]), d, columns=("text",),
-        num_partitions=num_partitions,
-    )
+    # only ship the texts the pairs actually reference into the attach joins
+    pairs, d = prune_to_pair_ids(pairs.select_columns(["id1", "id2"]), d)
+    joined = join_signatures(pairs, d, columns=("text",), num_partitions=num_partitions)
     return joined.map_batches(
         LLMVerifierStub,
         fn_constructor_kwargs={"use_stub": True},
