@@ -321,11 +321,15 @@ def tfidf_top_tokens(
         tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         n = np.array([cells.get(c, 0) for c in cols], dtype=np.float64)
         score = tf * (np.log((1.0 + n) / (1.0 + tf)) + 1.0)
+        # half-away-from-zero 6dp (scores are positive): matches DuckDB's
+        # round() for oracle bit-parity; np.round's half-even diverges on
+        # exact dyadic halves
+        score = np.floor(score * 1e6 + 0.5) / 1e6
         return pa.table(
             {
                 "col": batch["col"],
                 "token": batch["token"],
-                "score": pa.array(np.round(score, 6), pa.float64()),
+                "score": pa.array(score, pa.float64()),
             }
         )
 

@@ -368,9 +368,11 @@ def budget_topk(pairs: ray.data.Dataset, budget: int) -> ray.data.Dataset:
     """Global budgeted selection (initialization.py:47-66): top-``budget``
     candidate pairs by weight. Deterministic tie-break (id1, id2) replaces
     the reference's heap-insertion-order boundary ties (see module doc)."""
-    return pairs.sort(
+    top = pairs.sort(
         ["weight", "id1", "id2"], descending=[True, False, False]
     ).limit(budget)
+    # sort+limit of an all-empty input drops the column schema — re-stamp
+    return stamp_schema(top, SPATIAL_PAIRS_SCHEMA)
 
 
 def spatial_join(

@@ -92,7 +92,8 @@ def test_tfidf_top_tokens_scores_and_ranks():
         for tok in {t for t in _SPLIT.split(str(v).lower()) if t}:
             tf[tok] = tf.get(tok, 0) + 1
     scores = {
-        t: round(c * (math.log((1 + n) / (1 + c)) + 1), 6) for t, c in tf.items()
+        t: math.floor(c * (math.log((1 + n) / (1 + c)) + 1) * 1e6 + 0.5) / 1e6
+        for t, c in tf.items()
     }
     exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     got = [(r["token"], r["score"]) for r in sorted(rows, key=lambda r: r["rank"])]
