@@ -854,3 +854,128 @@ class RowColumnClustering(_Clusterer):
 
     _fn = staticmethod(clustering.row_column_clustering)
     _default_threshold = 0.5
+
+
+class SpatialData:
+    """Reference ``SpatialData`` (datamodel.py:372-395) analog over envelope
+    DataFrames with columns (minx, miny, maxx, maxy) and an optional id
+    column (row position otherwise). The reference parses WKT via shapely —
+    env-limited here; at the MBR level the spatial workflow is exact (see
+    stages/spatial.py module doc)."""
+
+    def __init__(self, source: pd.DataFrame, target: pd.DataFrame, id_column: str | None = None):
+        self.source = self._to_ds(source, id_column)
+        self.target = self._to_ds(target, id_column)
+        self.source_geometries_size = len(source)
+        self.target_geometries_size = len(target)
+
+    @staticmethod
+    def _to_ds(df: pd.DataFrame, id_column: str | None) -> ray.data.Dataset:
+        from .stages.spatial import BOX_COLS
+
+        missing = [c for c in BOX_COLS if c not in df.columns]
+        if missing:
+            raise ValueError(f"SpatialData frame missing envelope columns {missing}")
+        out = pd.DataFrame(
+            {
+                "gid": (df[id_column] if id_column else range(len(df))),
+                **{c: df[c].astype(float) for c in BOX_COLS},
+            }
+        )
+        return ray.data.from_pandas(out)
+
+
+class StandardSpatialFiltering:
+    """spatial/filtering.py:34-68: equigrid setup. ``process`` returns the
+    grid thetas; the spatial index itself is implicit in the distributed
+    cell-key shuffle (a driver-side defaultdict grid would be the scale
+    anti-pattern this engine exists to avoid)."""
+
+    def process(self, spatial_data: SpatialData) -> tuple[float, float]:
+        from .stages import spatial as _spatial
+
+        self.theta_x, self.theta_y = _spatial.mean_extents(spatial_data.source)
+        return self.theta_x, self.theta_y
+
+
+class StandardSpatialInitialization:
+    """spatial/initialization.py:31-66: budgeted top-K weighted candidates.
+    wScheme in {CF, JS_APPROX, MBR}; boundary ties break deterministically
+    by (id1, id2) instead of heap insertion order (documented deviation)."""
+
+    def __init__(self, budget: int, wScheme: str = "CF"):
+        self.budget = budget
+        self.wScheme = wScheme
+
+    def process(
+        self,
+        spatial_data: SpatialData,
+        theta_x: float | None = None,
+        theta_y: float | None = None,
+    ) -> ray.data.Dataset:
+        from .stages import spatial as _spatial
+
+        self.top_pairs = _spatial.spatial_join(
+            spatial_data.source,
+            spatial_data.target,
+            budget=self.budget,
+            weight_scheme=self.wScheme,
+            num_partitions=_DEFAULT_PARTITIONS,
+        )
+        return self.top_pairs
+
+    def export_to_df(self) -> pd.DataFrame:
+        return _guarded_to_pandas(self.top_pairs, "StandardSpatialInitialization")
+
+
+class ValentineSchemaMatching:
+    """schema/matching.py:101-152 facade: delegation to valentine's matchers
+    — env-gated (valentine is not installed here; construction raises with
+    instructions). Native distributed analogs: JaccardSchemaMatching below /
+    stages.schema_matching.tfidf_top_tokens."""
+
+    def __init__(self, matcher=None):
+        from .stages.schema_matching import ValentineMatcherStub
+
+        self._stub = ValentineMatcherStub()  # raises ImportError without valentine
+        self.matcher = matcher
+
+    def process(self, data) -> list:  # pragma: no cover - env-limited
+        import valentine
+
+        self.matches = valentine.valentine_match(
+            data.dataset_1, data.dataset_2, self.matcher
+        )
+        return [
+            [x[0][1] for x in self.matches.keys()],
+            [x[1][1] for x in self.matches.keys()],
+        ]
+
+
+class JaccardSchemaMatching:
+    """Native JaccardDistanceMatcher analog (schema/matching.py:92-93):
+    column similarity = Jaccard of distinct value-token sets, distributed.
+    process takes two pandas DataFrames (reference Schema shape) and returns
+    the full column-pair matrix as a DataFrame."""
+
+    def __init__(self, columns1: list[str] | None = None, columns2: list[str] | None = None):
+        self.columns1 = columns1
+        self.columns2 = columns2
+
+    def process(self, df1: pd.DataFrame, df2: pd.DataFrame) -> pd.DataFrame:
+        from .stages.schema_matching import jaccard_schema_matching
+
+        self.matches = jaccard_schema_matching(
+            ray.data.from_pandas(df1),
+            ray.data.from_pandas(df2),
+            columns1=self.columns1 or list(df1.columns),
+            columns2=self.columns2 or list(df2.columns),
+            num_partitions=_DEFAULT_PARTITIONS,
+        )
+        return _guarded_to_pandas(self.matches, "JaccardSchemaMatching")
+
+    def get_matches(self) -> dict:
+        df = _guarded_to_pandas(self.matches, "JaccardSchemaMatching")
+        return {
+            (r.col1, r.col2): r.jaccard for r in df.itertuples(index=False)
+        }

@@ -142,3 +142,25 @@ def test_valentine_stub_is_env_gated():
         pass
     with pytest.raises(ImportError, match="valentine"):
         ValentineMatcherStub()
+
+
+def test_compat_schema_facades():
+    import pandas as pd
+
+    from pyjedai_ray.compat import JaccardSchemaMatching, ValentineSchemaMatching
+
+    m = JaccardSchemaMatching()
+    df = m.process(T1.to_pandas()[["name", "addr"]], T2.to_pandas())
+    assert set(df.columns) == {"col1", "col2", "jaccard"}
+    assert len(df) == 4
+    gm = m.get_matches()
+    assert gm[("name", "title")] > 0
+
+    try:
+        import valentine  # noqa: F401
+
+        pytest.skip("valentine present")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="valentine"):
+        ValentineSchemaMatching()

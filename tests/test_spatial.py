@@ -258,3 +258,28 @@ def test_de9im_verifier_is_env_gated():
         pass
     with pytest.raises(ImportError, match="shapely"):
         De9imVerifier()
+
+
+def test_compat_spatial_facade():
+    import pandas as pd
+
+    from pyjedai_ray.compat import (
+        SpatialData,
+        StandardSpatialFiltering,
+        StandardSpatialInitialization,
+    )
+
+    S, T = _boxes(60, 7), _boxes(60, 8)
+    sd = SpatialData(
+        pd.DataFrame({c: S[c] for c in ("minx", "miny", "maxx", "maxy")}),
+        pd.DataFrame({c: T[c] for c in ("minx", "miny", "maxx", "maxy")}),
+    )
+    tx, ty = StandardSpatialFiltering().process(sd)
+    assert tx == pytest.approx(float(np.mean(S["maxx"] - S["minx"])))
+    init = StandardSpatialInitialization(budget=10, wScheme="CF")
+    init.process(sd)
+    df = init.export_to_df()
+    assert len(df) <= 10 and list(df.columns) == ["id1", "id2", "weight"]
+
+    with pytest.raises(ValueError, match="missing envelope"):
+        SpatialData(pd.DataFrame({"minx": [0.0]}), pd.DataFrame({"minx": [0.0]}))
