@@ -1312,7 +1312,7 @@ def q_pes_fixture(sf_dir: str):
     DFS remainder (b,c); each pair emits at its best-ordered center (the
     scheduler's checked-pair dedup)."""
     return meta_blocking.progressive_entity_scheduling(
-        _fixture_edges(sf_dir, *_FX_GREEDY4), budget=200, method="HB"
+        _fixture_edges(sf_dir, *_FX_GREEDY4), budget=300, method="HB"
     ).select_columns(["id1", "id2", "weight"])
 
 
@@ -1322,7 +1322,7 @@ def q_bilateral_fixture(sf_dir: str):
     its earlier (best-ordered) orientation — on the greedy-4 fixture that is
     exactly the PES order, proven value-exact against the same closed form."""
     return meta_blocking.emit_bilateral(
-        _fixture_edges(sf_dir, *_FX_GREEDY4), budget=200, strategy="HB"
+        _fixture_edges(sf_dir, *_FX_GREEDY4), budget=300, strategy="HB"
     ).select_columns(["id1", "id2", "weight"])
 
 
