@@ -519,6 +519,51 @@ def q_tiered_dedup(sf_dir: str):
     return res["docs"].select_columns(["doc_id", "url"])
 
 
+def _mod_filter(ds, mod: int, rem: int, keep: bool):
+    """doc_id % mod == rem slice (Ray's expr filter lacks the % operator)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        eq = (ids % mod) == rem
+        return batch.filter(pa.array(eq if keep else ~eq))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def q_decontaminate_ngram(sf_dir: str):
+    """Benchmark decontamination, n-gram mode (stages/decontaminate.py):
+    train = documents with doc_id % 41 != 3, eval set = the % 41 == 3 slice;
+    per train doc the DISTINCT 8-gram count, the count overlapping the eval
+    set's grams, and the GPT-3-style any-collision flag. Eval grams broadcast
+    once (ray.put), train streams — zero shuffles; value-exact vs a DuckDB
+    gram-join oracle."""
+    from .stages.decontaminate import decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    train = _mod_filter(docs, 41, 3, keep=False)
+    ev = _mod_filter(docs, 41, 3, keep=True)
+    res = decontaminate(train, ev, mode="ngram", n=8, concurrency=2)
+    return res["annotations"]
+
+
+def q_decontaminate_exact(sf_dir: str):
+    """Benchmark decontamination, exact mode: train = ALL documents, eval =
+    the doc_id % 17 == 2 slice — eval members present in train flag
+    contaminated=1 (the realistic leak shape: the benchmark was scraped into
+    the crawl). Normalized-text 128-bit fingerprints broadcast, train
+    streams."""
+    from .stages.decontaminate import decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    ev = _mod_filter(docs, 17, 2, keep=True)
+    res = decontaminate(docs, ev, mode="exact", concurrency=2)
+    return res["annotations"]
+
+
 def q_shingle_jaccard_pairs(sf_dir: str):
     """Exact n-gram (5-word-shingle) Jaccard per candidate pair."""
     cands = _shingle_candidates(sf_dir)
@@ -1659,6 +1704,10 @@ def queries():
         "spatial_relations": q_spatial_relations,
         "schema_jaccard": q_schema_jaccard,
         "schema_tfidf": q_schema_tfidf,
+        # r5: benchmark decontamination (broadcast eval set, streaming train)
+        # — oracle-backed, validator-provable below the window
+        "decontaminate_ngram": q_decontaminate_ngram,
+        "decontaminate_exact": q_decontaminate_exact,
         "unique_mapping_fixture": q_unique_mapping_fixture,
         "center_fixture": q_center_fixture,
         "merge_center_fixture": q_merge_center_fixture,
@@ -1998,6 +2047,47 @@ def oracle_sql():
               FROM scored
             )
             SELECT col, token, score, rank FROM ranked WHERE rank <= 10
+        """,
+        "decontaminate_ngram": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+              FROM documents
+            ),
+            grams AS (
+              -- word_shingles semantics: n-token windows; docs shorter than
+              -- n contribute their whole token sequence as one gram (the
+              -- range collapses to r=1 and the slice clamps)
+              SELECT DISTINCT doc_id, array_to_string(ts[r:r+7], ' ') AS g
+              FROM tok, UNNEST(range(1, greatest(len(ts) - 7, 1) + 1)) AS t(r)
+              WHERE len(ts) > 0
+            ),
+            ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 3),
+            tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 41 <> 3),
+            counts AS (
+              SELECT tr.doc_id,
+                     count(*) AS n_grams,
+                     CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+              FROM tr LEFT JOIN ev ON ev.g = tr.g
+              GROUP BY tr.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(c.n_grams, 0) AS n_grams,
+                   COALESCE(c.n_overlap, 0) AS n_overlap,
+                   CAST(CASE WHEN COALESCE(c.n_overlap, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN counts c ON c.doc_id = d.doc_id
+            WHERE d.doc_id % 41 <> 3
+        """,
+        "decontaminate_exact": """
+            WITH norm AS (
+              SELECT doc_id,
+                     array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') AS nt
+              FROM documents
+            ),
+            ev AS (SELECT DISTINCT nt FROM norm WHERE doc_id % 17 = 2)
+            SELECT n.doc_id,
+                   CAST(CASE WHEN ev.nt IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM norm n LEFT JOIN ev ON ev.nt = n.nt
         """,
         "arcs_weights": "WITH " + SQL_SHINGLES + """,
             bsizes AS (SELECT key, count(*) AS bs FROM sh GROUP BY key)

@@ -125,6 +125,42 @@ def qgram_multiset_keys(text: str, q: int = 2) -> list[str]:
     return sorted(out)
 
 
+def flat_token_stream(col):
+    """Batch tokenizer: ordered token stream of a string column as
+    ``(flat_tokens: pa.Array, lens: np.ndarray[int64])`` — row i's tokens are
+    ``flat[offs[i]:offs[i+1]]`` with ``offs = [0, cumsum(lens)]``.
+
+    The engine's standard ASCII Arrow fast path (utf8_lower ->
+    split_pattern_regex -> empty-filter; RE2's ``\\W`` is ASCII-only, so
+    non-ASCII batches fall back to the per-row Python tokenizer for
+    byte-identical tokens — same guard as the MinHash signer and the
+    fingerprint batch path)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(col, pa.Array):
+        col = col.combine_chunks()
+    col = pc.fill_null(pc.cast(col, pa.string()), "")
+    n = len(col)
+    if n and pc.all(pc.string_is_ascii(col)).as_py():
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), "[\\W_]+")
+        flat = pc.list_flatten(toks)
+        mask = pc.not_equal(flat, "")
+        par = pc.list_parent_indices(toks).filter(mask)
+        flat = flat.filter(mask)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = np.bincount(
+            par.to_numpy(zero_copy_only=False).astype(np.int64), minlength=n
+        ).astype(np.int64)
+        return flat, lens
+    tok_lists = [token_sequence(t or "") for t in col.to_pylist()]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    flat = pa.array([t for toks in tok_lists for t in toks], pa.string())
+    return flat, lens
+
+
 def word_shingles(text: str, k: int = 5) -> list[str]:
     """Distinct k-word shingles (space-joined) over the ordered token stream.
 
