@@ -96,6 +96,20 @@ def run_query_suite(num_cpus: int) -> dict:
     sigs = minhash.sign(docs, cfg, batch_size=256).materialize()
     out["minhash_sign"] = round(time.time() - t0, 3)
 
+    # benchmark decontamination (n-gram mode): eval = the doc_id % 41 == 3
+    # slice, train = the full table; eval grams broadcast, train streams
+    from pyjedai_ray.stages.decontaminate import decontaminate
+
+    def _eval_slice(batch):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        import pyarrow as _pa
+        return batch.filter(_pa.array((ids % 41) == 3))
+
+    ev = docs.map_batches(_eval_slice, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    decontaminate(docs, ev, mode="ngram", n=13)["survivors"].count()
+    out["decontaminate"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     blocking.candidate_pairs(
         minhash.explode_bands(sigs), max_block_size=cfg.max_block_size,
