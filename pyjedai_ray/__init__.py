@@ -44,6 +44,14 @@ def resolve_removals(*args, **kwargs):
     return _f(*args, **kwargs)
 
 
+def decontaminate(*args, **kwargs):
+    """Benchmark decontamination: flag/remove train docs overlapping an eval
+    set (lazy re-export of stages.decontaminate.decontaminate)."""
+    from .stages.decontaminate import decontaminate as _f
+
+    return _f(*args, **kwargs)
+
+
 def _set_default_context() -> None:
     # Datasets capture the DataContext at creation; switch the process to the
     # hash-shuffle backend up front so every plan built after importing this
