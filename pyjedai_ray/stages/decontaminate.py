@@ -356,7 +356,9 @@ def decontaminate(
     ``survivors`` = clean train rows (original columns); ``annotations`` =
     the flag columns keyed by ``id_col``. survivors/annotations are views of
     ``annotated`` — materialize it first when consuming both. Contaminated
-    drops are counted under ``drop_counter`` key ``contaminated_docs``.
+    drops are counted under ``drop_counter`` key ``contaminated_docs``
+    (counted in the survivors filter: executing that view twice without a
+    materialize doubles the count, like every per-batch counter here).
     """
     import ray as _ray
 
