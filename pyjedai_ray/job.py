@@ -61,6 +61,20 @@ def build_parser() -> argparse.ArgumentParser:
         "every removed doc mapped to its FINAL surviving representative "
         "(tiered.resolve_removals) — as Parquet under this directory",
     )
+    p.add_argument(
+        "--eval-set", default=None,
+        help="Parquet path of benchmark/eval documents: after dedup, remove "
+        "surviving train docs overlapping this set "
+        "(stages/decontaminate.py; contaminated counts land in the summary "
+        "and drop metrics, survivors in <out>/decontaminated)",
+    )
+    p.add_argument("--decon-mode", default="ngram", choices=["ngram", "exact"],
+                   help="decontamination rule: n-gram collision or exact "
+                   "normalized text")
+    p.add_argument("--decon-ngram", type=int, default=13,
+                   help="n for --decon-mode ngram (GPT-3 used 13)")
+    p.add_argument("--eval-text-col", default="text",
+                   help="text column name in --eval-set")
     p.add_argument("--no-resume", action="store_true",
                    help="recompute every stage even if manifests validate")
     p.add_argument("--no-html", action="store_true",
@@ -81,6 +95,52 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-block-size", type=int, default=64)
     p.add_argument("--verify-threshold", type=float, default=0.8)
     return p
+
+
+def _apply_decontamination(args, cfg, res, summary) -> dict:
+    """Post-dedup benchmark decontamination (--eval-set): filter the
+    surviving corpus against the eval set, write <out>/decontaminated (the
+    stage manifest's config hash folds in mode/n/eval path, so a resubmit
+    against a different eval set or rule rewrites it), and extend the
+    summary. Runs AFTER dedup — the eval grams broadcast against the already
+    -shrunk corpus."""
+    if not args.eval_set:
+        return summary
+    import ray.data
+
+    from .pipelines import checkpoint as ckpt
+    from .stages.decontaminate import decontaminate
+    from .state.metrics import read_drops, reset_drops
+
+    ev = ray.data.read_parquet(args.eval_set, columns=[args.eval_text_col])
+    counter = f"decon:{cfg.config_hash()}"
+    reset_drops(counter)
+    r = decontaminate(
+        res["docs"],
+        ev,
+        mode=args.decon_mode,
+        n=args.decon_ngram,
+        text_col="text",
+        eval_text_col=args.eval_text_col,
+        drop_counter=counter,
+    )
+    blob = (
+        f"{cfg.config_hash()}|decon|{args.decon_mode}|{args.decon_ngram}"
+        f"|{args.eval_set}|{args.eval_text_col}"
+    )
+    m = ckpt.write_stage(
+        r["survivors"], f"{args.out}/decontaminated", "decontaminated",
+        blob, res["lineage"],
+    )
+    summary["eval_set"] = args.eval_set
+    summary["decon_mode"] = args.decon_mode
+    summary["n_docs_final"] = m["row_count"]
+    summary["n_decontaminated"] = summary["n_docs"] - m["row_count"]
+    summary["drop_metrics"] = {
+        **summary["drop_metrics"],
+        **{f"decon_{k}": v for k, v in read_drops(counter).items()},
+    }
+    return summary
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -184,6 +244,7 @@ def main(argv: list[str] | None = None) -> dict:
             else:
                 summary["n_removed"] = None
                 summary["removals_out"] = None
+        summary = _apply_decontamination(args, cfg, res, summary)
         print(json.dumps(summary))
         return summary
 
@@ -210,6 +271,7 @@ def main(argv: list[str] | None = None) -> dict:
         "n_clustered": res["clusters"].count(),
         "drop_metrics": res["drop_metrics"](),
     }
+    summary = _apply_decontamination(args, cfg, res, summary)
     print(json.dumps(summary))
     return summary
 

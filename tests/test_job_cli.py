@@ -134,3 +134,44 @@ def test_job_cli_removals_out(tmp_path, ray_session):
         assert r["doc_id"] not in survivors
         if r["cluster_id"] is not None:
             assert r["cluster_id"] in survivors, r
+
+
+def test_job_cli_eval_set_decontamination(tmp_path, ray_session):
+    """--eval-set runs the post-dedup decontamination pass: overlapping docs
+    are dropped from <out>/decontaminated, counts land in the summary, and
+    the contaminated drops surface under decon_* drop metrics."""
+    import ray.data
+
+    from pyjedai_ray.job import main
+    from pyjedai_ray.pipelines import checkpoint as ckpt
+    from pyjedai_ray.sources.webpages import synthesize_webpages
+
+    inp = str(tmp_path / "webpages")
+    out = str(tmp_path / "dedup")
+    ev = str(tmp_path / "evalset")
+    wp = synthesize_webpages("/root/testdata/sf0.001").drop_columns(
+        ["doc_id", "gt_cluster"]
+    )
+    wp.write_parquet(inp)
+    # eval set = every 17th page's text -> its exact copies (and itself)
+    # n-gram-collide with the surviving corpus by construction
+    wp.limit(30).select_columns(["text"]).write_parquet(ev)
+
+    summary = main([
+        "--input", inp, "--out", out, "--num-partitions", "4",
+        "--tiers", "url,exact,lines,minhash",
+        "--cluster-mode", "driver", "--verify-mode", "broadcast",
+        "--eval-set", ev,
+    ])
+    assert summary["eval_set"] == ev
+    assert summary["decon_mode"] == "ngram"
+    assert summary["n_decontaminated"] > 0
+    assert summary["n_docs_final"] == summary["n_docs"] - summary["n_decontaminated"]
+    dm = summary["drop_metrics"]
+    assert dm.get("decon_contaminated_docs", {}).get("dropped_comparisons") == (
+        summary["n_decontaminated"]
+    )
+    survivors = ray.data.read_parquet(f"{out}/decontaminated")
+    assert survivors.count() == summary["n_docs_final"]
+    m = ckpt.read_manifest(f"{out}/decontaminated")
+    assert m["row_count"] == summary["n_docs_final"]
